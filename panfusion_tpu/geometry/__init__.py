@@ -1,0 +1,40 @@
+from .cubemap import Cubemap, Equirectangular, c2e, e2c
+from .pano_ops import pad_pano, roll_pano, unpad_pano
+from .projection import (
+    e2p,
+    map_equi_pix_to_pers,
+    map_pers_coords_to_equi,
+    map_pers_pix_to_equi,
+    mp2e,
+    p2e,
+    pers_ray_grid,
+)
+from .rotations import camera_rotations, get_K_R, rodrigues
+from .sampling import (
+    horizon_sample_camera,
+    icosahedron_sample_camera,
+    random_sample_camera,
+)
+
+__all__ = [
+    "Cubemap",
+    "Equirectangular",
+    "c2e",
+    "e2c",
+    "e2p",
+    "p2e",
+    "mp2e",
+    "pad_pano",
+    "unpad_pano",
+    "roll_pano",
+    "map_pers_coords_to_equi",
+    "map_pers_pix_to_equi",
+    "map_equi_pix_to_pers",
+    "pers_ray_grid",
+    "rodrigues",
+    "camera_rotations",
+    "get_K_R",
+    "horizon_sample_camera",
+    "icosahedron_sample_camera",
+    "random_sample_camera",
+]

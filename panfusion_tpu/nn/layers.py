@@ -1,0 +1,304 @@
+"""Shared neural building blocks for the SD2 stack (flax.linen, NHWC).
+
+Re-designed TPU-first: activations are NHWC (XLA:TPU's native conv layout),
+attention uses jax.nn.dot_product_attention with an optional additive float
+bias (the EPP mask contract — reference models/modules/transformer.py:71
+passes a dense [-1,1] float ``attn_bias`` to xformers), and LoRA adapters are
+first-class optional submodules of every attention projection (reference
+injects diffusers LoRAAttnProcessor post-hoc, models/pano/PanoGenerator.py:
+132-151).
+
+Architecture constants follow stabilityai/stable-diffusion-2-base so that
+converted reference checkpoints drop in (see tools/convert_ckpt.py).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def timestep_embedding(
+    timesteps: jnp.ndarray,
+    dim: int,
+    max_period: float = 10000.0,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+) -> jnp.ndarray:
+    """Sinusoidal timestep embedding (diffusers Timesteps contract for SD2:
+    flip_sin_to_cos=True, freq_shift=0)."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    freqs = jnp.exp(exponent)
+    args = timesteps.astype(jnp.float32)[..., None] * freqs
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    if flip_sin_to_cos:
+        return jnp.concatenate([cos, sin], axis=-1)
+    return jnp.concatenate([sin, cos], axis=-1)
+
+
+class TimestepEmbedding(nn.Module):
+    """2-layer MLP lifting the sinusoidal embedding to time_embed_dim."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_emb):
+        x = nn.Dense(self.dim, dtype=self.dtype, name="linear_1")(t_emb)
+        x = nn.silu(x)
+        return nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(x)
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm over the channel (last) axis of NHWC tensors."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.GroupNorm(
+            num_groups=self.num_groups, epsilon=self.epsilon, dtype=self.dtype
+        )(x)
+
+
+class LoRADense(nn.Module):
+    """Dense layer with an optional rank-r LoRA delta.
+
+    y = x W (+ b) + (x A) B, with A ~ N(0, 1/r) and B zero-init so the
+    adapter starts as identity. Parity with diffusers LoRALinearLayer
+    semantics used by the reference (PanoGenerator.py:132-151, rank 4,
+    network_alpha None => scale 1).
+    """
+
+    features: int
+    use_bias: bool = False
+    lora_rank: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Dense(
+            self.features, use_bias=self.use_bias, dtype=self.dtype, name="base"
+        )(x)
+        if self.lora_rank > 0:
+            down = nn.Dense(
+                self.lora_rank,
+                use_bias=False,
+                dtype=self.dtype,
+                kernel_init=nn.initializers.normal(1.0 / self.lora_rank),
+                name="lora_down",
+            )(x)
+            up = nn.Dense(
+                self.features,
+                use_bias=False,
+                dtype=self.dtype,
+                kernel_init=nn.initializers.zeros,
+                name="lora_up",
+            )(down)
+            y = y + up
+        return y
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention, self- or cross-, with optional additive bias.
+
+    The bias is a dense float tensor broadcast over heads — the EPP mask
+    contract (reference models/modules/transformer.py:57-74). Projections
+    optionally carry LoRA adapters.
+    """
+
+    query_dim: int
+    heads: int = 8
+    dim_head: int = 64
+    context_dim: Optional[int] = None
+    lora_rank: int = 0
+    out_zero_init: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, bias=None):
+        context = x if context is None else context
+        inner = self.heads * self.dim_head
+        q = LoRADense(inner, False, self.lora_rank, self.dtype, name="to_q")(x)
+        k = LoRADense(inner, False, self.lora_rank, self.dtype, name="to_k")(context)
+        v = LoRADense(inner, False, self.lora_rank, self.dtype, name="to_v")(context)
+
+        b, n, _ = q.shape
+        m = k.shape[1]
+        q = q.reshape(b, n, self.heads, self.dim_head)
+        k = k.reshape(b, m, self.heads, self.dim_head)
+        v = v.reshape(b, m, self.heads, self.dim_head)
+
+        if bias is not None:
+            bias = bias[:, None, :, :].astype(q.dtype)  # (b, 1, n, m) over heads
+        out = jax.nn.dot_product_attention(q, k, v, bias=bias)
+        out = out.reshape(b, n, inner)
+
+        if self.out_zero_init:
+            # the EPP transformer zero-inits its out projection so the warp
+            # block starts as identity (reference transformer.py:54-56)
+            proj = nn.Dense(
+                self.query_dim,
+                dtype=self.dtype,
+                kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.zeros,
+                name="to_out",
+            )
+            return proj(out)
+        return LoRADense(
+            self.query_dim, True, self.lora_rank, self.dtype, name="to_out"
+        )(out)
+
+
+class GEGLU(nn.Module):
+    dim_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        return h * nn.gelu(gate)
+
+
+class FeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+    zero_init_out: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = int(self.dim * self.mult)
+        x = GEGLU(inner, dtype=self.dtype, name="net_0")(x)
+        out = nn.Dense(
+            self.dim,
+            dtype=self.dtype,
+            kernel_init=(
+                nn.initializers.zeros
+                if self.zero_init_out
+                else nn.initializers.lecun_normal()
+            ),
+            bias_init=nn.initializers.zeros,
+            name="net_2",
+        )
+        return out(x)
+
+
+class TransformerBlock(nn.Module):
+    """SD-style basic transformer block: self-attn, cross-attn, GEGLU FF."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    context_dim: Optional[int] = None
+    lora_rank: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = x + CrossAttention(
+            self.dim, self.heads, self.dim_head, None, self.lora_rank,
+            dtype=self.dtype, name="attn1",
+        )(h)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        x = x + CrossAttention(
+            self.dim, self.heads, self.dim_head, self.context_dim,
+            self.lora_rank, dtype=self.dtype, name="attn2",
+        )(h, context=context)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """Transformer2DModel: GN -> linear proj -> blocks -> linear proj + skip.
+
+    SD2 uses linear (not 1x1-conv) projections (use_linear_projection=True).
+    """
+
+    channels: int
+    heads: int
+    dim_head: int
+    depth: int = 1
+    context_dim: Optional[int] = None
+    lora_rank: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        b, h, w, c = x.shape
+        residual = x
+        x = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        x = x.reshape(b, h * w, c)
+        x = nn.Dense(self.heads * self.dim_head, dtype=self.dtype, name="proj_in")(x)
+        for i in range(self.depth):
+            x = TransformerBlock(
+                self.heads * self.dim_head, self.heads, self.dim_head,
+                self.context_dim, self.lora_rank, dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(x, context=context)
+        x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
+        return x.reshape(b, h, w, c) + residual
+
+
+class ResnetBlock(nn.Module):
+    """SD resnet block: GN-silu-conv, +time, GN-silu-conv, skip 1x1."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb=None):
+        residual = x
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        if temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+                nn.silu(temb)
+            )
+            h = h + t[:, None, None, :]
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        if residual.shape[-1] != self.out_channels:
+            residual = nn.Conv(
+                self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
+            )(residual)
+        return h + residual
+
+
+class Downsample(nn.Module):
+    """3x3 stride-2 conv, zero pad 1 (diffusers Downsample2D)."""
+
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.channels, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class Upsample(nn.Module):
+    """Nearest 2x upsample + 3x3 conv (diffusers Upsample2D)."""
+
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
