@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Benchmark: panos/min/chip for full-size PanFusion inference.
+
+Measures the complete text->panorama path (prompt encode, 50-step CFG
+dual-branch DDIM with EPP attention, VAE decode of the pano + 20 views) at
+512x1024 in bfloat16 with random weights on one chip, and prints ONE JSON
+line.
+
+Baseline: the reference repo publishes no per-pano inference wall-clock
+(BASELINE.md). vs_baseline is computed against an estimated A100 reference
+of 1.5 panos/min (~40 s/pano for the fp32 torch.compile'd dual-branch
+pipeline of models/pano/PanFusion.py:125-182) — see BASELINE.md for the
+derivation; the number to watch across rounds is `value`.
+"""
+import json
+import sys
+import time
+
+A100_REFERENCE_PANOS_PER_MIN = 1.5
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from panfusion_tpu.models import PanFusion, PanFusionConfig
+
+    cfg = PanFusionConfig(dtype=jnp.bfloat16)
+    model = PanFusion(cfg)
+
+    rng = jax.random.PRNGKey(0)
+    params = model.init_params(rng)
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params
+    )
+
+    batch = {"pano_prompt": ["a modern living room with large windows"], "prompt": None}
+
+    # warm-up / compile
+    images, pano = model.inference(params, batch, jax.random.PRNGKey(1))
+    assert pano.shape == (1, cfg.pano_height, cfg.pano_width, 3)
+
+    n_iters = 3
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        images, pano = model.inference(params, batch, jax.random.PRNGKey(2 + i))
+    dt = (time.perf_counter() - t0) / n_iters
+
+    panos_per_min = 60.0 / dt
+    print(
+        json.dumps(
+            {
+                "metric": "panos/min/chip (512x1024, 50-step dual-branch)",
+                "value": round(panos_per_min, 4),
+                "unit": "panos/min",
+                "vs_baseline": round(panos_per_min / A100_REFERENCE_PANOS_PER_MIN, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

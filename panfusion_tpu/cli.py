@@ -1,0 +1,190 @@
+"""CLI driver: fit / validate / test / predict.
+
+Surface parity with the reference LightningCLI driver (main.py:14-76):
+subcommands, `--model=<ClassName>` / `--data=<ClassName>` selection, dotted
+config overrides (`--model.diff_timestep=50`, `--data.batch_size=1`),
+environment defaults (PANFUSION_MODEL_X / PANFUSION_DATA_X), run identity
+from WANDB_RUN_ID -> `logs/<run_id>/`, and a saved config snapshot per run.
+
+Usage:
+    python -m panfusion_tpu.cli predict --data=Demo --model=PanFusion
+    python -m panfusion_tpu.cli fit --data=Matterport3D --model=PanFusion
+    python -m panfusion_tpu.cli test --data=Matterport3D --model=EvalPanoGen
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+from typing import Dict
+
+import jax
+
+
+def _coerce(value: str, current):
+    if isinstance(current, bool):
+        return value.lower() in ("1", "true", "yes")
+    if isinstance(current, int) and not isinstance(current, bool):
+        return int(value)
+    if isinstance(current, float):
+        return float(value)
+    if current is None:
+        for cast in (int, float):
+            try:
+                return cast(value)
+            except ValueError:
+                pass
+        if value.lower() in ("true", "false"):
+            return value.lower() == "true"
+        if value.lower() in ("null", "none"):
+            return None
+    return value
+
+
+def apply_overrides(obj, overrides: Dict[str, str], prefix: str):
+    """Apply {'model.diff_timestep': '50'} style overrides to a dataclass
+    or attribute container."""
+    for key, value in overrides.items():
+        if not key.startswith(prefix + "."):
+            continue
+        field = key[len(prefix) + 1 :]
+        target = obj
+        parts = field.split(".")
+        for p in parts[:-1]:
+            target = getattr(target, p)
+        cur = getattr(target, parts[-1], None)
+        setattr(target, parts[-1], _coerce(value, cur))
+    return obj
+
+
+def _env_overrides(section: str) -> Dict[str, str]:
+    out = {}
+    pre = f"PANFUSION_{section.upper()}_"
+    for k, v in os.environ.items():
+        if k.startswith(pre):
+            out[f"{section}.{k[len(pre):].lower()}"] = v
+    return out
+
+
+def build_data(name: str, overrides: Dict[str, str]):
+    from .data.demo import Demo
+    from .data.matterport3d import Matterport3D
+
+    registry = {"Demo": Demo, "Matterport3D": Matterport3D}
+    dm = registry[name]()
+    apply_overrides(dm.hparams, {**_env_overrides("data"), **overrides}, "data")
+    return dm
+
+
+def build_model(name: str, overrides: Dict[str, str], data_hparams=None):
+    import jax.numpy as jnp
+
+    from .models.panfusion import PanFusion, PanFusionConfig
+
+    if name in ("PanFusion", "PanoOnly"):
+        cfg = PanFusionConfig(dtype=jnp.bfloat16)
+        if name == "PanoOnly":
+            cfg.use_pers_branch = False
+        if data_hparams is not None:
+            cfg.pano_height = data_hparams.pano_height
+            cfg.pers_resolution = data_hparams.pers_resolution
+            cfg.fov = float(data_hparams.fov)
+        apply_overrides(cfg, {**_env_overrides("model"), **overrides}, "model")
+        return PanFusion(cfg)
+    if name == "MvDiffusion":
+        from .models.mvdiffusion import MvDiffusion, MvDiffusionConfig
+
+        cfg = MvDiffusionConfig()
+        if data_hparams is not None:
+            cfg.pers_resolution = data_hparams.pers_resolution
+        apply_overrides(cfg, {**_env_overrides("model"), **overrides}, "model")
+        return MvDiffusion(cfg)
+    if name == "FAED":
+        from .models.faed import FAED, FAEDConfig
+
+        cfg = FAEDConfig()
+        apply_overrides(cfg, {**_env_overrides("model"), **overrides}, "model")
+        return FAED(cfg)
+    if name == "HorizonNet":
+        from .models.horizonnet import HorizonNet, HorizonNetConfig
+
+        cfg = HorizonNetConfig()
+        apply_overrides(cfg, {**_env_overrides("model"), **overrides}, "model")
+        return HorizonNet(cfg)
+    if name == "EvalPanoGen":
+        from .models.eval_pano_gen import EvalPanoGen, EvalConfig
+
+        cfg = EvalConfig()
+        apply_overrides(cfg, {**_env_overrides("model"), **overrides}, "model")
+        return EvalPanoGen(cfg)
+    raise SystemExit(f"unknown model {name!r}")
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    parser = argparse.ArgumentParser(prog="panfusion_tpu")
+    parser.add_argument(
+        "command", choices=["fit", "validate", "test", "predict", "bench"]
+    )
+    parser.add_argument("--model", default="PanFusion")
+    parser.add_argument("--data", default="Matterport3D")
+    parser.add_argument("--ckpt_path", default=None)
+    parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    args, unknown = parser.parse_known_args(argv)
+
+    overrides = {}
+    for tok in unknown:
+        if tok.startswith("--") and "=" in tok:
+            k, v = tok[2:].split("=", 1)
+            overrides[k] = v
+        else:
+            raise SystemExit(f"unrecognized argument: {tok}")
+
+    from .train.logging import ExperimentLogger, resolve_run_id
+    from .train.loop import TrainConfig
+
+    run_id = resolve_run_id()
+    logger = ExperimentLogger(run_id=run_id)
+
+    dm = build_data(args.data, overrides)
+
+    # EvalPanoGen wiring (reference main.py:46-52): result_dir from the run,
+    # batch_size forced to 1, data/pano_height copied into the model config.
+    if args.model == "EvalPanoGen":
+        dm.hparams.result_dir = os.path.join("logs", run_id, "test")
+        dm.hparams.batch_size = 1
+
+    model = build_model(args.model, overrides, dm.hparams)
+
+    # config snapshot (reference saves config per run, main.py:57-61)
+    snap = {
+        "command": args.command,
+        "model": args.model,
+        "data": args.data,
+        "overrides": overrides,
+        "model_config": dataclasses.asdict(model.cfg)
+        if dataclasses.is_dataclass(getattr(model, "cfg", None))
+        else str(getattr(model, "cfg", None)),
+        "data_config": dataclasses.asdict(dm.hparams),
+    }
+    with open(os.path.join(logger.save_dir, "config.json"), "w") as f:
+        json.dump(snap, f, indent=2, default=str)
+
+    if args.command == "fit":
+        tc = TrainConfig()
+        apply_overrides(tc, overrides, "trainer")
+        model.fit(dm, tc, logger, args)
+    elif args.command in ("test", "predict", "validate"):
+        model.run_eval(dm, logger, args)
+    elif args.command == "bench":
+        import subprocess
+
+        subprocess.run([sys.executable, "bench.py"], check=True)
+    logger.finish()
+
+
+if __name__ == "__main__":
+    main()

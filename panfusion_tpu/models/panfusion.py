@@ -1,0 +1,381 @@
+"""PanFusion: the flagship dual-branch text-to-panorama model.
+
+Capability parity with the reference PanFusion task module
+(models/pano/PanFusion.py) re-designed TPU-first:
+
+* the full 50-step CFG DDIM loop is ONE jitted ``lax.scan`` — latent roll,
+  EPP-site phase switching, dual-UNet forward, guidance and scheduler step
+  all inside (the reference loops in Python per step, PanFusion.py:146-162);
+* EPP masks are precomputed per rotation phase (4 variants for
+  rot_diff=90) instead of rebuilt with host numpy every UNet forward;
+* correlated noise init (one pano field nearest-warped into all views,
+  reference init_noise PanFusion.py:30-43) runs on device via the jnp e2p;
+* VAE encode/decode of the pano uses the circular pad-encode-unpad trick
+  (reference PanoGenerator.py:227-238) with latent_pad=8.
+
+Weights: random init by default (no network in this environment); converted
+reference checkpoints load via tools/convert_ckpt.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.projection import e2p
+from ..geometry.sampling import horizon_sample_camera, icosahedron_sample_camera
+from ..nn.clip import CLIPTextModel
+from ..nn.scheduler import add_noise, ddim_step, make_ddim_schedule
+from ..nn.tokenizer import load_tokenizer
+from ..nn.unet import UNet2DCondition  # noqa: F401  (re-export for configs)
+from ..nn.vae import AutoencoderKL
+from .dual_unet import DualUNet
+from .epp import build_epp_phase_cache, build_epp_sites
+from .prompts import PromptConfig, get_pano_prompt, get_pers_prompt
+
+
+
+def default_cameras(num_views: int):
+    """Evaluation camera set: the fixed icosahedron-20 (reference
+    dataset/PanoDataset.py:99-103); for non-20 view counts (tiny test
+    configs) fall back to equally spaced horizon yaws."""
+    if num_views == 20:
+        theta, phi = icosahedron_sample_camera()
+    else:
+        theta, phi = horizon_sample_camera(num_views)
+    return np.rad2deg(theta).astype(np.float32), np.rad2deg(phi).astype(np.float32)
+
+
+@dataclasses.dataclass
+class PanFusionConfig:
+    # data/geometry (reference defaults: dataset/PanoDataset.py:219-239)
+    pano_height: int = 512
+    pers_resolution: int = 256
+    fov: float = 90.0
+    num_views: int = 20
+    # diffusion (reference defaults: models/pano/PanoGenerator.py:61-79)
+    guidance_scale: float = 9.0
+    diff_timestep: int = 50
+    latent_pad: int = 8
+    rot_diff: float = 90.0
+    lora_rank: int = 4
+    pano_pad: bool = True
+    layout_cond: bool = False
+    pers_layout_cond: bool = False
+    use_pers_branch: bool = True
+    prompt: PromptConfig = dataclasses.field(default_factory=PromptConfig)
+    # numerics
+    dtype: Any = jnp.float32
+    # architecture overrides (tiny configs for tests/dryruns)
+    unet_kwargs: Optional[Dict] = None
+    vae_kwargs: Optional[Dict] = None
+    text_kwargs: Optional[Dict] = None
+
+    @property
+    def pano_width(self) -> int:
+        return self.pano_height * 2
+
+    @property
+    def equi_latent_hw(self) -> Tuple[int, int]:
+        return (self.pano_height // 8, self.pano_width // 8)
+
+    @property
+    def pers_latent_res(self) -> int:
+        return self.pers_resolution // 8
+
+
+class PanFusion:
+    """Orchestrator holding the flax modules and jitted entry points."""
+
+    def __init__(self, config: PanFusionConfig = PanFusionConfig()):
+        self.cfg = config
+        unet_kwargs = dict(config.unet_kwargs or {})
+        self.dual = DualUNet(
+            use_pers_branch=config.use_pers_branch,
+            pano_pad=config.pano_pad,
+            lora_rank=config.lora_rank,
+            dtype=config.dtype,
+            **unet_kwargs,
+        )
+        self.vae = AutoencoderKL(dtype=config.dtype, **(config.vae_kwargs or {}))
+        self.text_encoder = CLIPTextModel(dtype=config.dtype, **(config.text_kwargs or {}))
+        self.tokenizer = load_tokenizer()
+        self.schedule = make_ddim_schedule(config.diff_timestep)
+        self.context_dim = self.dual.context_dim if "context_dim" not in unet_kwargs else unet_kwargs["context_dim"]
+
+    # ------------------------------------------------------------ params
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
+        cfg = self.cfg
+        eh, ew = cfg.equi_latent_hw
+        pr = cfg.pers_latent_res
+        m = cfg.num_views
+        r_dual, r_vae, r_text = jax.random.split(rng, 3)
+
+        theta, phi = default_cameras(m)
+        sites = build_epp_sites(
+            pr, (eh, ew),
+            jnp.full((m,), cfg.fov, jnp.float32),
+            jnp.asarray(theta), jnp.asarray(phi),
+        ) if cfg.use_pers_branch else None
+
+        ctx_dim = self.text_encoder.hidden_size
+        dual_params = self.dual.init(
+            r_dual,
+            jnp.zeros((1, m, pr, pr, 4), cfg.dtype) if cfg.use_pers_branch else None,
+            jnp.zeros((1, eh, ew, 4), cfg.dtype),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, m, 77, ctx_dim), cfg.dtype) if cfg.use_pers_branch else None,
+            jnp.zeros((1, 77, ctx_dim), cfg.dtype),
+            sites,
+        )
+        vae_params = self.vae.init(
+            r_vae, jnp.zeros((1, 64, 64, 3), cfg.dtype), r_vae
+        )
+        text_params = self.text_encoder.init(
+            r_text, jnp.zeros((1, 77), jnp.int32)
+        )
+        return {"dual": dual_params, "vae": vae_params, "text": text_params}
+
+    # ------------------------------------------------------------ text
+    def encode_text(self, params, texts: List[str]) -> jnp.ndarray:
+        """(n, 77, hidden) embeddings (reference encode_text,
+        PanoGenerator.py:197-211)."""
+        ids = jnp.asarray(self.tokenizer(texts), jnp.int32)
+        return self.text_encoder.apply(params["text"], ids)
+
+    def embed_prompt(self, params, batch: Dict, m: int):
+        """(pers_ctx (b, m, 77, C), pano_ctx (b, 77, C)) — reference
+        embed_prompt (PanFusion.py:45-62)."""
+        b = len(batch["pano_prompt"])
+        pers_prompt = get_pers_prompt(self.cfg.prompt, batch, m)
+        pers_ctx = self.encode_text(params, pers_prompt).reshape(b, m, 77, -1)
+        pano_prompt = get_pano_prompt(self.cfg.prompt, batch)
+        pano_ctx = self.encode_text(params, pano_prompt)
+        return pers_ctx, pano_ctx
+
+    # ------------------------------------------------------------ vae
+    def encode_pano(self, params, pano: jnp.ndarray, rng) -> jnp.ndarray:
+        """(b, H, W, 3) -> (b, H/8, W/8, 4) latent with circular pad trick."""
+        pad = self.cfg.latent_pad
+        x = jnp.concatenate([pano[:, :, -pad * 8 :], pano, pano[:, :, : pad * 8]], axis=2)
+        z = self.vae.apply(params["vae"], x, rng, method=self.vae.sample_latent)
+        return z[:, :, pad:-pad]
+
+    def decode_pano(self, params, latent: jnp.ndarray) -> jnp.ndarray:
+        pad = self.cfg.latent_pad
+        z = jnp.concatenate([latent[:, :, -pad:], latent, latent[:, :, :pad]], axis=2)
+        img = self.vae.apply(params["vae"], z, method=self.vae.decode)
+        return img[:, :, pad * 8 : -pad * 8]
+
+    def encode_views(self, params, images: jnp.ndarray, rng) -> jnp.ndarray:
+        """(b, m, h, w, 3) -> (b, m, h/8, w/8, 4)."""
+        b, m = images.shape[:2]
+        flat = images.reshape(b * m, *images.shape[2:])
+        z = self.vae.apply(params["vae"], flat, rng, method=self.vae.sample_latent)
+        return z.reshape(b, m, *z.shape[1:])
+
+    def decode_views(self, params, latents: jnp.ndarray) -> jnp.ndarray:
+        b, m = latents.shape[:2]
+        flat = latents.reshape(b * m, *latents.shape[2:])
+        img = self.vae.apply(params["vae"], flat, method=self.vae.decode)
+        return img.reshape(b, m, *img.shape[1:])
+
+    # ------------------------------------------------------------ noise
+    def init_noise(self, rng, b: int, equi_hw, pers_hw, theta, phi):
+        """Correlated noise: one pano field, e2p-nearest-warped to views
+        (reference PanFusion.py:30-43). Returns NHWC (b,eh,ew,4) and
+        (b,m,ph,pw,4)."""
+        eh, ew = equi_hw
+        pano_noise = jax.random.normal(rng, (b, 4, eh, ew), jnp.float32)
+        m = theta.shape[0]
+
+        def per_sample(noise_chw):
+            return e2p(
+                noise_chw, self.cfg.fov, theta, phi, tuple(pers_hw), mode="nearest"
+            )  # (m, 4, ph, pw)
+
+        views = jax.vmap(per_sample)(pano_noise)  # (b, m, 4, ph, pw)
+        return (
+            jnp.moveaxis(pano_noise, 1, -1),
+            jnp.moveaxis(views, 2, -1),
+        )
+
+    # ------------------------------------------------------------ sampling
+    def make_phase_sites(self, batch_cfg_b: int = 1):
+        """Stacked EPP phase cache as a pytree with leading phase axis."""
+        cfg = self.cfg
+        theta, phi = default_cameras(cfg.num_views)
+        phases = build_epp_phase_cache(
+            cfg.pers_latent_res, cfg.equi_latent_hw,
+            np.full(cfg.num_views, cfg.fov, np.float32),
+            theta, phi,
+            rot_diff=cfg.rot_diff,
+            batch=batch_cfg_b,
+        )
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *phases)
+
+    @functools.partial(jax.jit, static_argnames=("self", "num_views"))
+    def _sample_loop(
+        self,
+        params,
+        pers_ctx,  # (b, m, 77, C) cond
+        pano_ctx,  # (b, 77, C) cond
+        null_ctx,  # (1, 77, C)
+        phase_sites,  # pytree, leading axis = n_phases
+        rng,
+        num_views: int,
+    ):
+        cfg = self.cfg
+        b = pano_ctx.shape[0]
+        eh, ew = cfg.equi_latent_hw
+        pr = cfg.pers_latent_res
+        m = num_views
+        theta, phi = default_cameras(m)
+        theta = jnp.asarray(theta)
+        phi = jnp.asarray(phi)
+
+        pano_latent, pers_latents = self.init_noise(
+            rng, b, (eh, ew), (pr, pr), theta, phi
+        )
+        pano_latent = pano_latent.astype(cfg.dtype)
+        pers_latents = pers_latents.astype(cfg.dtype)
+
+        # CFG contexts: (uncond, cond) along batch
+        null_p = jnp.broadcast_to(null_ctx[:, None], (b, m, *null_ctx.shape[1:]))
+        pers_ctx2 = jnp.concatenate([null_p, pers_ctx], axis=0).astype(cfg.dtype)
+        null_e = jnp.broadcast_to(null_ctx, (b, *null_ctx.shape[1:]))
+        pano_ctx2 = jnp.concatenate([null_e, pano_ctx], axis=0).astype(cfg.dtype)
+
+        n_phases = jax.tree.leaves(phase_sites)[0].shape[0]
+        shift = int(cfg.rot_diff / 360.0 * ew)
+        timesteps = self.schedule.timesteps
+
+        def step(carry, i):
+            pers, pano = carry
+            t = timesteps[i]
+            phase = jnp.mod(i, n_phases)
+            sites = jax.tree.map(lambda a: a[phase], phase_sites)
+            # rotate pano latent (cameras already rotated in the phase cache)
+            pano = jnp.roll(pano, shift, axis=2)
+
+            # CFG pair
+            pers2 = jnp.concatenate([pers, pers], axis=0)
+            pano2 = jnp.concatenate([pano, pano], axis=0)
+            t2 = jnp.full((2 * b,), t, jnp.int32)
+            sites2 = [_cfg_tile_site(s) for s in sites]
+            eps_pers, eps_pano = self.dual.apply(
+                params["dual"], pers2, pano2, t2, pers_ctx2, pano_ctx2, sites2
+            )
+            eps_pano_u, eps_pano_c = jnp.split(eps_pano, 2, axis=0)
+            eps_pano = eps_pano_u + cfg.guidance_scale * (eps_pano_c - eps_pano_u)
+            pano = ddim_step(self.schedule, eps_pano.astype(jnp.float32), t, pano.astype(jnp.float32)).astype(cfg.dtype)
+            if eps_pers is not None:
+                eps_u, eps_c = jnp.split(eps_pers, 2, axis=0)
+                eps_pers = eps_u + cfg.guidance_scale * (eps_c - eps_u)
+                pers = ddim_step(self.schedule, eps_pers.astype(jnp.float32), t, pers.astype(jnp.float32)).astype(cfg.dtype)
+            return (pers, pano), None
+
+        (pers_latents, pano_latent), _ = jax.lax.scan(
+            step, (pers_latents, pano_latent), jnp.arange(cfg.diff_timestep)
+        )
+
+        # un-rotate accumulated rotation
+        total_shift = (shift * cfg.diff_timestep) % ew
+        pano_latent = jnp.roll(pano_latent, -total_shift, axis=2)
+        return pers_latents, pano_latent
+
+    def inference(self, params, batch: Dict, rng) -> Tuple[np.ndarray, np.ndarray]:
+        """Text -> (views uint8 (b,m,h,w,3), pano uint8 (b,H,W,3)).
+
+        Parity with reference inference (PanFusion.py:125-182).
+        """
+        cfg = self.cfg
+        m = cfg.num_views
+        pers_ctx, pano_ctx = self.embed_prompt(params, batch, m)
+        null_ctx = self.encode_text(params, [""])
+        phase_sites = self.make_phase_sites(1)
+        b = pano_ctx.shape[0]
+        if b > 1:
+            phase_sites = jax.tree.map(
+                lambda a: jnp.repeat(a, b, axis=1) if a.ndim >= 4 else a, phase_sites
+            )
+        pers_latents, pano_latent = self._sample_loop(
+            params, pers_ctx, pano_ctx, null_ctx, phase_sites, rng, m
+        )
+        images = self.decode_views(params, pers_latents)
+        pano = self.decode_pano(params, pano_latent)
+        return tensor_to_image(images), tensor_to_image(pano)
+
+    # ------------------------------------------------------------ tasks
+    def fit(self, datamodule, train_cfg, logger, args):
+        from ..runner import fit as run_fit
+
+        return run_fit(
+            self, datamodule, train_cfg, logger,
+            max_steps=getattr(args, "max_steps", None),
+            seed=getattr(args, "seed", 0),
+        )
+
+    def load_or_init_params(self, ckpt_path=None, seed: int = 0):
+        params = self.init_params(jax.random.PRNGKey(seed))
+        params = jax.tree.map(
+            lambda x: x.astype(self.cfg.dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            params,
+        )
+        if ckpt_path:
+            from ..train.checkpoints import CheckpointManager, warm_start_params
+
+            ckpt = CheckpointManager(os.path.dirname(os.path.abspath(ckpt_path)))
+            loaded = ckpt.restore(params, os.path.basename(ckpt_path))
+            if loaded is not None:
+                params = warm_start_params(params, loaded)
+            else:
+                print(f"WARNING: checkpoint {ckpt_path} not found; random init")
+        return params
+
+    def run_eval(self, datamodule, logger, args):
+        from ..runner import predict as run_predict
+
+        params = self.load_or_init_params(
+            getattr(args, "ckpt_path", None), getattr(args, "seed", 0)
+        )
+        mode = "predict" if args.command == "predict" else "test"
+        ext = "jpg" if mode == "predict" else "png"
+        return run_predict(
+            self, params, datamodule, logger, mode=mode, ext=ext,
+            seed=getattr(args, "seed", 0),
+        )
+
+    # ------------------------------------------------------------ training
+    def train_sites(self, fov, theta, phi, batch: int = 1):
+        """EPP sites for a training camera set (built inside the step)."""
+        return build_epp_sites(
+            self.cfg.pers_latent_res, self.cfg.equi_latent_hw, fov, theta, phi,
+            batch=batch,
+        )
+
+
+def _cfg_tile_site(s):
+    """Duplicate a site along batch for the (uncond, cond) CFG pair."""
+    from ..nn.epp import EPPSite
+
+    return EPPSite(
+        pers_mask=jnp.concatenate([s.pers_mask, s.pers_mask], axis=0),
+        equi_mask=jnp.concatenate([s.equi_mask, s.equi_mask], axis=0),
+        pers_coords=jnp.concatenate([s.pers_coords, s.pers_coords], axis=0),
+        equi_coords=s.equi_coords,
+    )
+
+
+def tensor_to_image(x: jnp.ndarray) -> np.ndarray:
+    """[-1, 1] float NHWC -> uint8 (reference models/modules/utils.py
+    tensor_to_image contract)."""
+    arr = np.asarray(x.astype(jnp.float32))
+    return ((np.clip(arr, -1, 1) + 1) * 127.5).astype(np.uint8)

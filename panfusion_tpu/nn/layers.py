@@ -14,6 +14,7 @@ converted reference checkpoints drop in (see tools/convert_ckpt.py).
 from __future__ import annotations
 
 import math
+from math import gcd
 from typing import Optional
 
 import jax
@@ -39,6 +40,13 @@ def timestep_embedding(
     if flip_sin_to_cos:
         return jnp.concatenate([cos, sin], axis=-1)
     return jnp.concatenate([sin, cos], axis=-1)
+
+
+
+def _num_groups(channels: int, target: int = 32) -> int:
+    """32 groups for SD2-sized channels; the largest divisor <= 32 for tiny
+    test configs (every production channel count is divisible by 32)."""
+    return target if channels % target == 0 else gcd(target, channels)
 
 
 class TimestepEmbedding(nn.Module):
@@ -237,7 +245,7 @@ class SpatialTransformer(nn.Module):
     def __call__(self, x, context=None):
         b, h, w, c = x.shape
         residual = x
-        x = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        x = nn.GroupNorm(num_groups=_num_groups(c), epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         x = x.reshape(b, h * w, c)
         x = nn.Dense(self.heads * self.dim_head, dtype=self.dtype, name="proj_in")(x)
         for i in range(self.depth):
@@ -259,7 +267,7 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, temb=None):
         residual = x
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        h = nn.GroupNorm(num_groups=_num_groups(x.shape[-1]), epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         if temb is not None:
@@ -267,7 +275,7 @@ class ResnetBlock(nn.Module):
                 nn.silu(temb)
             )
             h = h + t[:, None, None, :]
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
+        h = nn.GroupNorm(num_groups=_num_groups(self.out_channels), epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if residual.shape[-1] != self.out_channels:

@@ -206,8 +206,11 @@ class UNet2DCondition(nn.Module):
             )
         self.up_blocks = tuple(up)
 
+        from .layers import _num_groups
+
         self.conv_norm_out = nn.GroupNorm(
-            num_groups=32, epsilon=1e-5, dtype=self.dtype, name="conv_norm_out"
+            num_groups=_num_groups(ch[0]), epsilon=1e-5, dtype=self.dtype,
+            name="conv_norm_out",
         )
         self.conv_out = nn.Conv(
             self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"

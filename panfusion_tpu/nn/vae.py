@@ -1,0 +1,134 @@
+"""AutoencoderKL (the SD VAE) in flax.linen, NHWC.
+
+Architecture parity with diffusers AutoencoderKL of
+stabilityai/stable-diffusion-2-base (reference loads it frozen fp16 in
+models/pano/PanoGenerator.py:123-127): block_out_channels (128, 256, 512,
+512), 2 layers/block, latent 4ch, scaling_factor 0.18215.
+
+TPU notes: runs in bfloat16 at inference; the panorama path wraps
+encode/decode with width-circular padding at the *pixel* level (the
+reference's pad-encode-unpad trick, PanoGenerator.py:227-238) which callers
+do via geometry.pad_pano.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import Downsample, ResnetBlock, Upsample, _num_groups
+
+SD_VAE_SCALING_FACTOR = 0.18215
+
+
+class VAEAttention(nn.Module):
+    """Single-head spatial self-attention block (VAE mid block)."""
+
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        residual = x
+        x = nn.GroupNorm(num_groups=_num_groups(c), epsilon=1e-6, dtype=self.dtype, name="group_norm")(x)
+        x = x.reshape(b, h * w, c)
+        q = nn.Dense(c, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(c, dtype=self.dtype, name="to_k")(x)
+        v = nn.Dense(c, dtype=self.dtype, name="to_v")(x)
+        out = jax.nn.dot_product_attention(
+            q[:, :, None, :], k[:, :, None, :], v[:, :, None, :]
+        )[:, :, 0, :]
+        out = nn.Dense(c, dtype=self.dtype, name="to_out")(out)
+        return out.reshape(b, h, w, c) + residual
+
+
+class Encoder(nn.Module):
+    block_out_channels: Sequence[int] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    latent_channels: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ch = self.block_out_channels
+        x = nn.Conv(ch[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
+        for i, c in enumerate(ch):
+            for j in range(self.layers_per_block):
+                x = ResnetBlock(c, dtype=self.dtype, name=f"down_{i}_res_{j}")(x)
+            if i < len(ch) - 1:
+                x = Downsample(c, dtype=self.dtype, name=f"down_{i}_downsample")(x)
+        x = ResnetBlock(ch[-1], dtype=self.dtype, name="mid_res_0")(x)
+        x = VAEAttention(ch[-1], dtype=self.dtype, name="mid_attn")(x)
+        x = ResnetBlock(ch[-1], dtype=self.dtype, name="mid_res_1")(x)
+        x = nn.GroupNorm(num_groups=_num_groups(x.shape[-1]), epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(x)
+        x = nn.silu(x)
+        x = nn.Conv(2 * self.latent_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
+        # diffusers applies an extra 1x1 quant_conv
+        return nn.Conv(2 * self.latent_channels, (1, 1), dtype=self.dtype, name="quant_conv")(x)
+
+
+class Decoder(nn.Module):
+    block_out_channels: Sequence[int] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    latent_channels: int = 4
+    out_channels: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        ch = list(reversed(self.block_out_channels))  # (512, 512, 256, 128)
+        z = nn.Conv(self.latent_channels, (1, 1), dtype=self.dtype, name="post_quant_conv")(z)
+        x = nn.Conv(ch[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
+        x = ResnetBlock(ch[0], dtype=self.dtype, name="mid_res_0")(x)
+        x = VAEAttention(ch[0], dtype=self.dtype, name="mid_attn")(x)
+        x = ResnetBlock(ch[0], dtype=self.dtype, name="mid_res_1")(x)
+        for i, c in enumerate(ch):
+            for j in range(self.layers_per_block + 1):
+                x = ResnetBlock(c, dtype=self.dtype, name=f"up_{i}_res_{j}")(x)
+            if i < len(ch) - 1:
+                x = Upsample(c, dtype=self.dtype, name=f"up_{i}_upsample")(x)
+        x = nn.GroupNorm(num_groups=_num_groups(x.shape[-1]), epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(x)
+        x = nn.silu(x)
+        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
+
+
+class AutoencoderKL(nn.Module):
+    """encode -> (mean, logvar); decode(latent) -> image. NHWC."""
+
+    block_out_channels: Sequence[int] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    latent_channels: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = Encoder(
+            self.block_out_channels, self.layers_per_block, self.latent_channels,
+            dtype=self.dtype, name="encoder",
+        )
+        self.decoder = Decoder(
+            self.block_out_channels, self.layers_per_block, self.latent_channels,
+            dtype=self.dtype, name="decoder",
+        )
+
+    def encode(self, x):
+        moments = self.encoder(x)
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        return mean, jnp.clip(logvar, -30.0, 20.0)
+
+    def sample_latent(self, x, rng):
+        """Sample from the posterior and apply the SD scaling factor
+        (reference encode_image, PanoGenerator.py:213-225)."""
+        mean, logvar = self.encode(x)
+        std = jnp.exp(0.5 * logvar)
+        z = mean + std * jax.random.normal(rng, mean.shape, mean.dtype)
+        return z * SD_VAE_SCALING_FACTOR
+
+    def decode(self, z):
+        return self.decoder(z / SD_VAE_SCALING_FACTOR)
+
+    def __call__(self, x, rng):
+        z = self.sample_latent(x, rng)
+        return self.decode(z)

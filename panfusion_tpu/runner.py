@@ -1,0 +1,125 @@
+"""Experiment runners: the fit/validate/test/predict flows behind the CLI.
+
+These play the role of the Lightning Trainer + task-module hooks in the
+reference (SURVEY.md §1 L6/L5): the training loop with time-interval
+checkpointing and per-epoch validation images, and the idempotent
+test/predict output layout `logs/<run_id>/{test,predict}/<pano_id>/`
+(reference PanoGenerator.py:295-303, PanFusion.py:190-203).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.panfusion import PanFusion, tensor_to_image
+from .train.checkpoints import CheckpointManager
+from .train.logging import ExperimentLogger
+from .train.loop import TrainConfig, create_train_state, make_train_step
+from .train.params import merge_params
+
+
+def _device_batch(model: PanFusion, params, batch: Dict):
+    """Host batch dict -> arrays for the jitted train step (prompt encoding
+    happens here, outside jit, like the frozen CLIP in the reference)."""
+    m = batch["cameras"]["theta"].shape[1]
+    pers_ctx, pano_ctx = model.embed_prompt(params, batch, m)
+    return {
+        "images": jnp.asarray(batch["images"]),
+        "pano": jnp.asarray(batch["pano"][:, 0]),
+        "pers_ctx": pers_ctx,
+        "pano_ctx": pano_ctx,
+        "fov": jnp.asarray(batch["cameras"]["FoV"], jnp.float32),
+        "theta": jnp.asarray(batch["cameras"]["theta"], jnp.float32),
+        "phi": jnp.asarray(batch["cameras"]["phi"], jnp.float32),
+    }
+
+
+def fit(
+    model: PanFusion,
+    datamodule,
+    train_cfg: TrainConfig,
+    logger: ExperimentLogger,
+    resume: bool = True,
+    max_steps: Optional[int] = None,
+    seed: int = 0,
+):
+    params = model.init_params(jax.random.PRNGKey(seed))
+    datamodule.prepare_data()
+    datamodule.setup("fit")
+    loader = datamodule.train_dataloader()
+    train_cfg.steps_per_epoch = max(1, len(loader))
+
+    state, opt = create_train_state(model, params, train_cfg)
+    ckpt = CheckpointManager(os.path.join(logger.save_dir, "checkpoints"))
+    if resume and ckpt.exists("last"):
+        restored = ckpt.restore(state, "last")
+        if restored is not None:
+            state = restored
+            print(f"Resumed from step {int(state.step)}")
+
+    step_fn = make_train_step(model, opt)
+    rng = jax.random.PRNGKey(seed + 1)
+    step = int(state.step)
+    start_epoch = step // train_cfg.steps_per_epoch
+    for epoch in range(start_epoch, train_cfg.max_epochs):
+        for batch in loader:
+            params_now = merge_params(state.trainable, state.frozen)
+            dev_batch = _device_batch(model, params_now, batch)
+            rng, sub = jax.random.split(rng)
+            state, metrics = step_fn(state, dev_batch, sub)
+            step += 1
+            if step % 10 == 0:
+                logger.log(
+                    {f"train/{k}": float(v) for k, v in metrics.items()}, step
+                )
+            ckpt.maybe_save(state)
+            if max_steps is not None and step >= max_steps:
+                ckpt.save(state)
+                return state
+        ckpt.save(state)
+        logger.log({"epoch": epoch}, step)
+    return state
+
+
+def predict(
+    model: PanFusion,
+    params,
+    datamodule,
+    logger: ExperimentLogger,
+    mode: str = "predict",
+    ext: str = "jpg",
+    seed: int = 0,
+):
+    """Idempotent text->pano generation into logs/<run>/<mode>/<pano_id>/
+    (skips samples whose prompt.txt exists — reference PanFusion.py:190-203).
+    Also saves the 20 per-view images for downstream pers metrics."""
+    from PIL import Image
+
+    datamodule.setup("predict" if mode == "predict" else "test")
+    loader = (
+        datamodule.predict_dataloader()
+        if mode == "predict"
+        else datamodule.test_dataloader()
+    )
+    rng = jax.random.PRNGKey(seed)
+    for bi, batch in enumerate(loader):
+        out_dir = os.path.join(logger.save_dir, mode, batch["pano_id"][0])
+        prompt_path = os.path.join(out_dir, "prompt.txt")
+        if os.path.exists(prompt_path):
+            continue
+        rng, sub = jax.random.split(rng)
+        images, pano = model.inference(params, batch, sub)
+        os.makedirs(out_dir, exist_ok=True)
+        Image.fromarray(pano[0]).save(os.path.join(out_dir, f"pano.{ext}"))
+        if mode == "test":
+            for i in range(images.shape[1]):
+                Image.fromarray(images[0, i]).save(
+                    os.path.join(out_dir, f"{i}.png")
+                )
+        with open(prompt_path, "w") as f:
+            f.write(batch["pano_prompt"][0] + "\n")
+        print(f"[{bi + 1}/{len(loader)}] {batch['pano_id'][0]}")

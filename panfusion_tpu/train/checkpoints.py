@@ -1,0 +1,80 @@
+"""Checkpoint/resume via orbax (parity surface: SURVEY.md §5.4).
+
+The reference checkpoints under logs/<WANDB_RUN_ID>/checkpoints/ with
+save_last + a 10-minute time interval (main.py:34-39), strips eval-metric
+keys, and supports warm-starting from a prior run's checkpoint
+(PanoGenerator.py:86-114). Here: orbax PyTreeCheckpointer with a `last`
+alias, time-interval saving, and a warm-start loader that merges whatever
+subtree of params matches (strict-then-lenient, like the reference's
+strict=True fallback to strict=False load).
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+from flax import traverse_util
+
+
+class CheckpointManager:
+    def __init__(self, ckpt_dir: str, interval_minutes: float = 10.0):
+        self.ckpt_dir = os.path.abspath(ckpt_dir)
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        self.interval = interval_minutes * 60.0
+        self._last_save = 0.0
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.ckpt_dir, name)
+
+    def save(self, state, name: str = "last", force: bool = True):
+        path = self._path(name)
+        # orbax refuses to overwrite; write to tmp then swap
+        tmp = self._path(f"_tmp_{name}_{int(time.time())}")
+        self._ckptr.save(tmp, state)
+        self._ckptr.wait_until_finished()
+        import shutil
+
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+        self._last_save = time.time()
+
+    def maybe_save(self, state, name: str = "last") -> bool:
+        """Time-interval checkpointing (reference train_time_interval=10min,
+        main.py:35-39)."""
+        if time.time() - self._last_save >= self.interval:
+            self.save(state, name)
+            return True
+        return False
+
+    def restore(self, target, name: str = "last"):
+        path = self._path(name)
+        if not os.path.exists(path):
+            return None
+        return self._ckptr.restore(path, target=target)
+
+    def exists(self, name: str = "last") -> bool:
+        return os.path.exists(self._path(name))
+
+
+def warm_start_params(params: Dict, loaded: Dict) -> Dict:
+    """Merge a previously trained param tree into a fresh one, keeping only
+    matching paths/shapes (the reference's strict-then-nonstrict
+    load_state_dict, PanoGenerator.py:86-94)."""
+    flat = dict(traverse_util.flatten_dict(params))
+    flat_loaded = traverse_util.flatten_dict(loaded)
+    n_hit, n_miss = 0, 0
+    for k, v in flat_loaded.items():
+        if k in flat and tuple(np.shape(flat[k])) == tuple(np.shape(v)):
+            flat[k] = v
+            n_hit += 1
+        else:
+            n_miss += 1
+    if n_miss:
+        print(f"warm_start_params: merged {n_hit} tensors, skipped {n_miss}")
+    return traverse_util.unflatten_dict(flat)

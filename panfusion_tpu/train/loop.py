@@ -1,0 +1,152 @@
+"""Training loop: jitted dual-branch denoising step + optimizer.
+
+Loss parity with the reference training_step (models/pano/PanFusion.py:
+64-98): VAE-encode the m views and the circularly padded pano, one shared
+timestep per sample, correlated noise, dual-branch epsilon prediction,
+MSE(pers) + MSE(pano).
+
+TPU-first: the whole step — including on-device EPP mask construction for
+the batch's random cameras — is ONE jitted function; data parallelism comes
+from sharding the batch over the mesh 'data' axis (see
+panfusion_tpu/parallel), not a DDP process group.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.epp import build_epp_sites_batched
+from ..models.panfusion import PanFusion
+from ..nn.scheduler import add_noise
+from .params import default_trainable, merge_params, partition_params
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    lr: float = 2e-4  # reference PanoGenerator.py:64
+    max_epochs: int = 10  # reference main.py:68
+    steps_per_epoch: int = 1000
+    eta_min: float = 1e-7  # reference CosineAnnealingLR (PanoGenerator.py:288)
+    weight_decay: float = 0.01  # torch AdamW default
+    cn_lr_scale: float = 0.1  # reference get_cn (PanoGenerator.py:153-157)
+    use_cosine: bool = True  # disabled when layout_cond (PanoGenerator.py:289)
+    grad_accum: int = 1
+
+
+class TrainState(NamedTuple):
+    trainable: Dict
+    frozen: Dict
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """AdamW + per-epoch cosine annealing to eta_min (the torch
+    CosineAnnealingLR schedule: lr(e) = eta_min + (lr0-eta_min)
+    (1+cos(pi e/T))/2, stepped per epoch)."""
+    if cfg.use_cosine:
+
+        def lr_schedule(step):
+            epoch = jnp.minimum(step // cfg.steps_per_epoch, cfg.max_epochs)
+            cos = 0.5 * (1 + jnp.cos(jnp.pi * epoch / cfg.max_epochs))
+            return cfg.eta_min + (cfg.lr - cfg.eta_min) * cos
+
+    else:
+        lr_schedule = cfg.lr
+    return optax.adamw(lr_schedule, weight_decay=cfg.weight_decay)
+
+
+def create_train_state(
+    model: PanFusion,
+    params: Dict,
+    cfg: TrainConfig,
+    trainable_predicate: Callable = default_trainable,
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    trainable, frozen = partition_params(params, trainable_predicate)
+    opt = make_optimizer(cfg)
+    return (
+        TrainState(trainable, frozen, opt.init(trainable), jnp.zeros((), jnp.int32)),
+        opt,
+    )
+
+
+def make_train_step(model: PanFusion, opt: optax.GradientTransformation):
+    """Returns jitted train_step(state, batch, rng) -> (state, metrics).
+
+    batch (device arrays):
+      images: (b, m, h, w, 3) in [-1, 1]
+      pano:   (b, H, W, 3) in [-1, 1]
+      pers_ctx: (b, m, 77, C); pano_ctx: (b, 77, C)
+      fov/theta/phi: (b, m) degrees
+    """
+    cfg = model.cfg
+
+    def loss_fn(trainable, frozen, batch, rng):
+        params = merge_params(trainable, frozen)
+        r_vae, r_t, r_noise = jax.random.split(rng, 3)
+        b, m = batch["images"].shape[:2]
+
+        latents = model.encode_views(params, batch["images"], r_vae)
+        pano_latent = model.encode_pano(params, batch["pano"], r_vae)
+        latents = jax.lax.stop_gradient(latents)
+        pano_latent = jax.lax.stop_gradient(pano_latent)
+
+        t = jax.random.randint(
+            r_t, (b,), 0, model.schedule.num_train_timesteps
+        )
+
+        # correlated noise per sample over its own cameras
+        eh, ew = pano_latent.shape[1:3]
+        ph, pw = latents.shape[2:4]
+
+        def noise_one(rng_i, theta_i, phi_i):
+            pn, vn = model.init_noise(rng_i, 1, (eh, ew), (ph, pw), theta_i, phi_i)
+            return pn[0], vn[0]
+
+        rngs = jax.random.split(r_noise, b)
+        pano_noise, noise = jax.vmap(noise_one)(rngs, batch["theta"], batch["phi"])
+
+        noise_z = add_noise(model.schedule, latents, noise, t[:, None])
+        pano_noise_z = add_noise(model.schedule, pano_latent, pano_noise, t)
+
+        sites = build_epp_sites_batched(
+            cfg.pers_latent_res, (eh, ew),
+            batch["fov"], batch["theta"], batch["phi"],
+        ) if cfg.use_pers_branch else None
+
+        denoise, pano_denoise = model.dual.apply(
+            params["dual"],
+            noise_z.astype(cfg.dtype) if cfg.use_pers_branch else None,
+            pano_noise_z.astype(cfg.dtype),
+            t,
+            batch["pers_ctx"].astype(cfg.dtype) if cfg.use_pers_branch else None,
+            batch["pano_ctx"].astype(cfg.dtype),
+            sites,
+        )
+        loss_pano = jnp.mean(
+            (pano_denoise.astype(jnp.float32) - pano_noise) ** 2
+        )
+        if denoise is not None:
+            loss_pers = jnp.mean((denoise.astype(jnp.float32) - noise) ** 2)
+        else:
+            loss_pers = jnp.zeros(())
+        loss = loss_pers + loss_pano
+        return loss, {"loss": loss, "loss_pers": loss_pers, "loss_pano": loss_pano}
+
+    @jax.jit
+    def train_step(state: TrainState, batch, rng):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.trainable, state.frozen, batch, rng
+        )
+        updates, opt_state = opt.update(grads, state.opt_state, state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+        return (
+            TrainState(trainable, state.frozen, opt_state, state.step + 1),
+            metrics,
+        )
+
+    return train_step

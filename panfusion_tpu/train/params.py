@@ -1,0 +1,61 @@
+"""Parameter partitioning: trainable vs frozen subtrees.
+
+The reference trains only LoRA adapters + the 7 WarpAttn blocks on top of
+frozen SD2 (models/pano/MVGenModel.py:34-36, PanoGenerator.py:132-151), with
+ControlNet params at 0.1x lr when layout-conditioned (PanoGenerator.py:
+153-157). Here that's a path-predicate partition over the flax param tree,
+which optax masks and jax.grad respect exactly.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+from flax import traverse_util
+
+# path substrings that mark trainable params in the PanFusion setup
+LORA_PATTERN = "lora_"
+WARP_PATTERN = "cp_blocks_"
+CONTROLNET_PATTERN = "controlnet"
+
+
+def default_trainable(path: Tuple[str, ...]) -> bool:
+    joined = "/".join(path)
+    return LORA_PATTERN in joined or WARP_PATTERN in joined
+
+
+def controlnet_trainable(path: Tuple[str, ...]) -> bool:
+    """Layout-conditioned stage: ControlNet (+ WarpAttn stays off per
+    reference trainable_params when layout_cond, PanFusion.py:26-28)."""
+    return CONTROLNET_PATTERN in "/".join(path)
+
+
+def partition_params(params: Dict, predicate: Callable) -> Tuple[Dict, Dict]:
+    """Split a nested param dict into (trainable, frozen) by path."""
+    flat = traverse_util.flatten_dict(params)
+    train = {k: v for k, v in flat.items() if predicate(k)}
+    frozen = {k: v for k, v in flat.items() if not predicate(k)}
+    return (
+        traverse_util.unflatten_dict(train),
+        traverse_util.unflatten_dict(frozen),
+    )
+
+
+def merge_params(trainable: Dict, frozen: Dict) -> Dict:
+    flat = dict(traverse_util.flatten_dict(frozen))
+    flat.update(traverse_util.flatten_dict(trainable))
+    return traverse_util.unflatten_dict(flat)
+
+
+def lr_scale_mask(params: Dict, predicate: Callable, scale: float):
+    """Per-path lr multipliers (the reference's optimizer param groups,
+    PanoGenerator.py:280-293): `scale` where predicate hits, 1.0 elsewhere."""
+    flat = traverse_util.flatten_dict(params)
+    out = {k: (scale if predicate(k) else 1.0) for k in flat}
+    return traverse_util.unflatten_dict(out)
+
+
+def count_params(tree) -> int:
+    import numpy as np
+
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
