@@ -20,6 +20,9 @@ A100_REFERENCE_PANOS_PER_MIN = 1.5
 
 
 def main():
+    import panfusion_tpu
+
+    panfusion_tpu.enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

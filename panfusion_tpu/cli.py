@@ -92,6 +92,7 @@ def build_model(name: str, overrides: Dict[str, str], data_hparams=None):
             cfg.pers_resolution = data_hparams.pers_resolution
             cfg.fov = float(data_hparams.fov)
         apply_overrides(cfg, {**_env_overrides("model"), **overrides}, "model")
+        cfg.__post_init__()  # re-expand preset after overrides
         return PanFusion(cfg)
     if name == "MvDiffusion":
         from .models.mvdiffusion import MvDiffusion, MvDiffusionConfig
@@ -123,6 +124,9 @@ def build_model(name: str, overrides: Dict[str, str], data_hparams=None):
 
 
 def main(argv=None):
+    from . import enable_compilation_cache
+
+    enable_compilation_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     parser = argparse.ArgumentParser(prog="panfusion_tpu")
     parser.add_argument(

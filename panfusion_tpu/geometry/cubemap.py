@@ -360,7 +360,25 @@ class Equirectangular:
 
     def to_perspective(self, fov, yaw_deg, pitch_deg, hw, mode: str = "bilinear"):
         """90-degree-FoV crops for the data pipeline; equivalent to the
-        reference's py360convert.e2p call (utils/pano.py:160-162)."""
+        reference's py360convert.e2p call (utils/pano.py:160-162).
+
+        Fast path: numpy grid + the native C++ sampler (ops/host.py) — this
+        runs per item in the host input pipeline while the TPU computes.
+        Falls back to the jitted jnp e2p when the library isn't built.
+        """
+        fov_h = fov[0] if isinstance(fov, (tuple, list)) else fov
+
+        from ..ops import host
+
+        if host.available():
+            from .host_grids import map_pers_pix_to_equi_np
+
+            eh, ew = self.equirectangular.shape[:2]
+            x, y = map_pers_pix_to_equi_np(
+                eh, ew, fov_h, yaw_deg, pitch_deg, hw[0], hw[1]
+            )
+            return host.remap(self.equirectangular, x, y, mode, "wrap")
+
         import jax.numpy as jnp
 
         from .projection import e2p as e2p_jax
@@ -368,7 +386,6 @@ class Equirectangular:
         img = jnp.asarray(
             np.moveaxis(self.equirectangular.astype(np.float32), -1, 0)
         )
-        fov_h = fov[0] if isinstance(fov, (tuple, list)) else fov
         out = e2p_jax(img, fov_h, yaw_deg, pitch_deg, tuple(hw), mode, "wrap")
         return np.moveaxis(np.asarray(out[0]), 0, -1)
 

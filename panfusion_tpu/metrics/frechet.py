@@ -1,0 +1,88 @@
+"""Streaming Fréchet-distance machinery shared by FID and FAED.
+
+The reference relies on torchmetrics' FrechetInceptionDistance /
+`_compute_fid` with `dist_reduce_fx="sum"` states (models/faed/FAED.py:59-103,
+models/pano/EvalPanoGen.py:30-49). Here the same contract is a small
+explicit class: sum / outer-product-sum / count states that are exactly
+sum-reducible across data-parallel workers (`jax.lax.psum` on device or
+`merge_state` on host), with the final Fréchet computation on host float64.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def frechet_distance(mu1, cov1, mu2, cov2) -> float:
+    """d^2 = |mu1-mu2|^2 + tr(c1 + c2 - 2 sqrtm(c1 c2)) (host float64,
+    torchmetrics `_compute_fid` contract)."""
+    import scipy.linalg
+
+    diff = mu1 - mu2
+    covmean, _ = scipy.linalg.sqrtm(cov1 @ cov2, disp=False)
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff @ diff + np.trace(cov1 + cov2 - 2.0 * covmean))
+
+
+class StreamingFrechet:
+    """Accumulates features of a "real" and a "fake" set; computes the
+    Fréchet distance between their Gaussian fits.
+
+    States are pure sums so distributed reduction is a psum:
+        sum_k   (n_features,)
+        cov_k   (n_features, n_features)  -- sum of outer products f^T f
+        n_k     scalar count
+    """
+
+    higher_is_better = False
+
+    def __init__(self, num_features: int):
+        self.num_features = num_features
+        self.reset()
+
+    def reset(self):
+        n = self.num_features
+        self._sum = {k: np.zeros(n, np.float64) for k in ("real", "fake")}
+        self._cov = {k: np.zeros((n, n), np.float64) for k in ("real", "fake")}
+        self._n = {"real": 0, "fake": 0}
+        self.update_called = False
+
+    def update(self, features: np.ndarray, real: bool):
+        f = np.asarray(features, np.float64)
+        k = "real" if real else "fake"
+        self._sum[k] += f.sum(axis=0)
+        self._cov[k] += f.T @ f
+        self._n[k] += f.shape[0]
+        self.update_called = True
+
+    def merge_state(self, other: "StreamingFrechet"):
+        """sum-reduction across workers (torchmetrics dist_reduce_fx='sum')."""
+        for k in ("real", "fake"):
+            self._sum[k] += other._sum[k]
+            self._cov[k] += other._cov[k]
+            self._n[k] += other._n[k]
+        self.update_called = self.update_called or other.update_called
+
+    def state_arrays(self):
+        """Flat list of the reduction states (for jax psum-based reduction)."""
+        return [
+            self._sum["real"], self._cov["real"], np.float64(self._n["real"]),
+            self._sum["fake"], self._cov["fake"], np.float64(self._n["fake"]),
+        ]
+
+    def load_state_arrays(self, arrs):
+        self._sum["real"], self._cov["real"] = np.asarray(arrs[0]), np.asarray(arrs[1])
+        self._n["real"] = int(arrs[2])
+        self._sum["fake"], self._cov["fake"] = np.asarray(arrs[3]), np.asarray(arrs[4])
+        self._n["fake"] = int(arrs[5])
+
+    def moments(self, k: str):
+        n = self._n[k]
+        mu = self._sum[k] / n
+        cov = (self._cov[k] - n * np.outer(mu, mu)) / (n - 1)
+        return mu, cov
+
+    def compute(self) -> float:
+        if self._n["real"] < 2 or self._n["fake"] < 2:
+            raise RuntimeError("need >=2 samples in both sets for a Fréchet distance")
+        return frechet_distance(*self.moments("real"), *self.moments("fake"))

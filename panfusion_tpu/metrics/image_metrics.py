@@ -1,0 +1,238 @@
+"""FID / Inception Score / CLIP-Score — the torchmetrics trio of the
+reference eval harness (models/pano/EvalPanoGen.py:30-49), TPU-native.
+
+All three share the streaming-state pattern: `update()` runs the jitted
+feature extractor on device and accumulates small host-side states that are
+sum-reducible across data-parallel workers; `compute()` finishes on host.
+
+Feature extractors are process-wide singletons (one compile each); metric
+instances are cheap, so the harness can hold 17 of them like the reference's
+ModuleDict.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .frechet import StreamingFrechet
+from .inception import (
+    InceptionV3,
+    inception_preprocess,
+    load_inception_variables,
+)
+
+
+@functools.lru_cache(maxsize=1)
+def _inception_fn():
+    net = InceptionV3()
+    variables = load_inception_variables(net)
+
+    @jax.jit
+    def run(x):
+        feats, logits = net.apply(variables, x)
+        return feats, jax.nn.softmax(logits, axis=-1)
+
+    return run
+
+
+@functools.lru_cache(maxsize=1)
+def _clip_fns():
+    """image_embed_fn for CLIP-Score; weights from weights/clip_vision.npz
+    when present (tools/convert_ckpt.py), else seeded random."""
+    import os
+
+    from ..nn.clip import CLIPVisionModel, clip_image_preprocess  # noqa: F401
+    from .inception import _unflatten_into
+
+    # ViT-B/16 — the tower of the reference's CLIPScore model id
+    # 'openai/clip-vit-base-patch16' (EvalPanoGen.py:33)
+    net = CLIPVisionModel(
+        patch_size=16, hidden_size=768, intermediate_size=3072,
+        num_layers=12, num_heads=12, projection_dim=512,
+    )
+    variables = net.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
+    )
+    path = os.path.join("weights", "clip_vision.npz")
+    if os.path.exists(path):
+        variables = _unflatten_into(variables, dict(np.load(path)))
+    run = jax.jit(lambda x: net.apply(variables, x))
+    return run
+
+
+@functools.lru_cache(maxsize=1)
+def default_text_embed_fn():
+    """List[str] -> (n, d) pooled+projected CLIP text embeddings.
+
+    Pools the hidden state at the EOS token and applies text_projection —
+    the joint-space embedding torchmetrics CLIPScore compares against.
+    Weights from weights/clip_text.npz when present, else seeded random.
+    """
+    import os
+
+    from ..nn.clip import CLIPTextModel
+    from ..nn.tokenizer import load_tokenizer
+    from .inception import _unflatten_into
+
+    # openai/clip-vit-base-patch16 text tower: 512 hidden, 12 layers, 8 heads
+    net = CLIPTextModel(
+        hidden_size=512, intermediate_size=2048, num_layers=12, num_heads=8
+    )
+    tokenizer = load_tokenizer()
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32))
+    proj = jax.random.normal(
+        jax.random.PRNGKey(1), (net.hidden_size, 512), jnp.float32
+    ) / np.sqrt(net.hidden_size)
+    path = os.path.join("weights", "clip_text.npz")
+    if os.path.exists(path):
+        flat = dict(np.load(path))
+        proj = jnp.asarray(flat.pop("text_projection", proj))
+        variables = _unflatten_into(variables, flat)
+
+    @jax.jit
+    def run(ids):
+        hidden = net.apply(variables, ids)  # (n, 77, d)
+        eos_pos = jnp.argmax(ids == 49407, axis=-1)
+        pooled = hidden[jnp.arange(ids.shape[0]), eos_pos]
+        return pooled @ proj
+
+    def embed(texts):
+        ids = jnp.asarray(tokenizer(list(texts)), jnp.int32)
+        return run(ids)
+
+    return embed
+
+
+class FrechetInceptionDistance:
+    """FID over Inception pool3 features (reference: torchmetrics FID,
+    EvalPanoGen.py:33 et al)."""
+
+    higher_is_better = False
+
+    def __init__(self):
+        self._frechet = StreamingFrechet(2048)
+        self.update_called = False
+
+    def reset(self):
+        self._frechet.reset()
+        self.update_called = False
+
+    def update(self, imgs_uint8: np.ndarray, real: bool):
+        feats, _ = _inception_fn()(jnp.asarray(inception_preprocess(imgs_uint8)))
+        self._frechet.update(np.asarray(feats), real)
+        self.update_called = True
+
+    def merge_state(self, other):
+        self._frechet.merge_state(other._frechet)
+
+    def compute(self) -> float:
+        return self._frechet.compute()
+
+
+class InceptionScore:
+    """IS = exp(E_x KL(p(y|x) || p(y))) over generated images only
+    (torchmetrics InceptionScore contract: update(imgs) — no real set)."""
+
+    higher_is_better = True
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self._probs: List[np.ndarray] = []
+        self.update_called = False
+
+    def update(self, imgs_uint8: np.ndarray):
+        _, probs = _inception_fn()(jnp.asarray(inception_preprocess(imgs_uint8)))
+        self._probs.append(np.asarray(probs, np.float64))
+        self.update_called = True
+
+    def merge_state(self, other):
+        self._probs.extend(other._probs)
+        self.update_called = self.update_called or other.update_called
+
+    def compute(self, splits: int = 10):
+        """(mean, std) over `splits` chunks (torchmetrics contract — the
+        reference unpacks both, EvalPanoGen.py:181-182)."""
+        p = np.concatenate(self._probs, axis=0)
+        p = np.clip(p, 1e-16, 1.0)
+        scores = []
+        for chunk in np.array_split(p, splits):
+            if len(chunk) == 0:
+                continue
+            marginal = chunk.mean(axis=0, keepdims=True)
+            kl = (chunk * (np.log(chunk) - np.log(marginal))).sum(axis=1)
+            scores.append(np.exp(kl.mean()))
+        return float(np.mean(scores)), float(np.std(scores))
+
+
+class ClipScore:
+    """CLIP-Score: mean over samples of 100 * max(cos(img_emb, txt_emb), 0)
+    (torchmetrics CLIPScore contract; reference EvalPanoGen.py:85-169 feeds
+    (images, prompts) pairs)."""
+
+    higher_is_better = True
+
+    def __init__(self, text_embed_fn=None):
+        # text_embed_fn: List[str] -> (n, d) embeddings; bound by the
+        # harness to the session CLIP text tower + projection.
+        self.text_embed_fn = text_embed_fn
+        self.reset()
+
+    def reset(self):
+        self._score_sum = 0.0
+        self._n = 0
+        self.update_called = False
+
+    def update(self, imgs_uint8: np.ndarray, prompts: List[str]):
+        from ..nn.clip import clip_image_preprocess
+
+        img_emb = np.asarray(
+            _clip_fns()(jnp.asarray(clip_image_preprocess(imgs_uint8)))
+        )
+        if self.text_embed_fn is None:
+            self.text_embed_fn = default_text_embed_fn()
+        txt_emb = np.asarray(self.text_embed_fn(list(prompts)))
+        img_emb = img_emb / np.linalg.norm(img_emb, axis=-1, keepdims=True)
+        txt_emb = txt_emb / np.linalg.norm(txt_emb, axis=-1, keepdims=True)
+        sims = np.maximum((img_emb * txt_emb).sum(axis=-1), 0.0) * 100.0
+        self._score_sum += float(sims.sum())
+        self._n += len(sims)
+        self.update_called = True
+
+    def merge_state(self, other):
+        self._score_sum += other._score_sum
+        self._n += other._n
+        self.update_called = self.update_called or other.update_called
+
+    def compute(self) -> float:
+        return self._score_sum / max(self._n, 1)
+
+
+class MeanMetric:
+    """Scalar running mean (psum-able sum/count states)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self._sum = 0.0
+        self._n = 0
+        self.update_called = False
+
+    def update(self, value: float, n: int = 1):
+        self._sum += float(value) * n
+        self._n += n
+        self.update_called = True
+
+    def merge_state(self, other):
+        self._sum += other._sum
+        self._n += other._n
+        self.update_called = self.update_called or other.update_called
+
+    def compute(self) -> float:
+        return self._sum / max(self._n, 1)

@@ -171,19 +171,21 @@ def build_coords(
 
 
 def warp_attn_resolutions(
-    pers_res: int, equi_hw: Tuple[int, int]
+    pers_res: int, equi_hw: Tuple[int, int], n_levels: int = 4
 ) -> List[Tuple[Tuple[int, int], Tuple[int, int]]]:
-    """The 7 WarpAttn sites' (pers_hw, equi_hw), in traversal order:
-    3 encoder downsample points, mid, 3 decoder upsample points
-    (reference MVGenModel.py:19-33). For pers 32 / equi 64x128:
-    [(16,32x64), (8,16x32), (4,8x16), (4,8x16), (4,8x16), (8,16x32),
-    (16,32x64)] — only 3 unique resolutions, which the cache exploits."""
+    """The WarpAttn sites' (pers_hw, equi_hw), in traversal order:
+    one per encoder downsample point, mid, one per decoder upsample point
+    (reference MVGenModel.py:19-33; 3+1+3 for the 4-level SD2 UNet). For
+    pers 32 / equi 64x128: [(16,32x64), (8,16x32), (4,8x16), (4,8x16),
+    (4,8x16), (8,16x32), (16,32x64)] — only n_levels-1 unique resolutions,
+    which the cache exploits."""
     eh, ew = equi_hw
     enc = [
-        ((pers_res >> k, pers_res >> k), (eh >> k, ew >> k)) for k in (1, 2, 3)
+        ((pers_res >> k, pers_res >> k), (eh >> k, ew >> k))
+        for k in range(1, n_levels)
     ]
     mid = [enc[-1]]
-    dec = [enc[2], enc[1], enc[0]]
+    dec = list(reversed(enc))
     return enc + mid + dec
 
 
@@ -194,13 +196,14 @@ def build_epp_sites(
     theta: jnp.ndarray,
     phi: jnp.ndarray,
     batch: int = 1,
+    n_levels: int = 4,
 ) -> List[EPPSite]:
-    """All 7 sites for one camera set (single sample), deduplicated by
+    """All sites for one camera set (single sample), deduplicated by
     resolution, packed in the (b, q, kv) layout WarpAttn consumes."""
     m = theta.shape[0]
     unique: Dict[Tuple, Tuple] = {}
     sites = []
-    for pers_hw, e_hw in warp_attn_resolutions(pers_res, equi_hw):
+    for pers_hw, e_hw in warp_attn_resolutions(pers_res, equi_hw, n_levels):
         key = (pers_hw, e_hw)
         if key not in unique:
             pm, em = build_masks(pers_hw, e_hw, fov, theta, phi)
@@ -228,6 +231,7 @@ def build_epp_sites_batched(
     fov: jnp.ndarray,  # (b, m)
     theta: jnp.ndarray,  # (b, m)
     phi: jnp.ndarray,  # (b, m)
+    n_levels: int = 4,
 ) -> List[EPPSite]:
     """Training-path sites: per-sample random cameras (reference
     dataset/PanoDataset.py:99-103), vmapped over the batch inside the jitted
@@ -235,7 +239,7 @@ def build_epp_sites_batched(
     b, m = theta.shape
     unique: Dict[Tuple, EPPSite] = {}
     sites = []
-    for pers_hw, e_hw in warp_attn_resolutions(pers_res, equi_hw):
+    for pers_hw, e_hw in warp_attn_resolutions(pers_res, equi_hw, n_levels):
         key = (pers_hw, e_hw)
         if key not in unique:
             pm, em = jax.vmap(
@@ -264,6 +268,7 @@ def build_epp_phase_cache(
     phi: np.ndarray,
     rot_diff: float = 90.0,
     batch: int = 1,
+    n_levels: int = 4,
 ) -> List[List[EPPSite]]:
     """Inference cache: one site list per rotation phase.
 
@@ -279,7 +284,7 @@ def build_epp_phase_cache(
             build_epp_sites(
                 pers_res, equi_hw,
                 jnp.asarray(fov, jnp.float32), jnp.asarray(th, jnp.float32),
-                jnp.asarray(phi, jnp.float32), batch,
+                jnp.asarray(phi, jnp.float32), batch, n_levels,
             )
         )
     return phases

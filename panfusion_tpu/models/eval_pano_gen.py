@@ -1,0 +1,276 @@
+"""EvalPanoGen — the quantitative metric harness (test-only task module).
+
+Parity with the reference EvalPanoGen (models/pano/EvalPanoGen.py:18-190):
+a dict of 18 metrics over saved generation results —
+
+* FID / IS / CS on the full panoramas,
+* rot_*   : after a 180° horizontal roll (seam moved to the center),
+* crop_*  : on `num_eval_crops` random 90°-FoV 299x299 e2p crops (FID/IS),
+* seam_*  : same crops pinned at theta=180° — the stitch seam (FID/IS),
+* mv_*    : horizon-8 crops, the MVDiffusion evaluation protocol,
+* pers_*  : on the saved per-view images vs matching GT crops,
+* FAED    : panorama-specific Fréchet AutoEncoder Distance,
+* layout  : HorizonNet layout-consistency IoU when GT layouts exist.
+
+TPU-native design: all crops run through the jitted batched e2p (one warp
+for all 20 crops — the reference loops per view on CPU inside e2p), and all
+feature extractors are jitted device programs; the streaming states are
+psum-able sums (metrics/frechet.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.projection import e2p
+from ..geometry.sampling import horizon_sample_camera, random_sample_camera
+from ..metrics.image_metrics import (
+    ClipScore,
+    FrechetInceptionDistance,
+    InceptionScore,
+)
+from .faed import FAEDAutoEncoder, FrechetAutoEncoderDistance
+from .prompts import PromptConfig, get_pano_prompt, get_pers_prompt
+
+
+@dataclasses.dataclass
+class EvalConfig:
+    log_test_samples: int = 50  # reference EvalPanoGen.py:21
+    num_eval_crops: int = 20
+    pano_height: int = 512
+    faed_ckpt: str = os.path.join("weights", "faed")
+    horizonnet_ckpt: str = os.path.join("weights", "horizonnet")
+    layout_metric: bool = True
+    prompt: PromptConfig = dataclasses.field(default_factory=PromptConfig)
+    seed: int = 0
+
+
+def _to_uint8(x: np.ndarray) -> np.ndarray:
+    """Accept uint8 [0,255] or float [-1,1]/[0,255] panos and normalize to
+    uint8 (result images load unnormalized — dataset process_equi)."""
+    x = np.asarray(x)
+    if x.dtype == np.uint8:
+        return x
+    if x.min() < 0.0 or x.max() <= 1.5:
+        return ((np.clip(x, -1, 1) + 1) * 127.5).astype(np.uint8)
+    return np.clip(x, 0, 255).astype(np.uint8)
+
+
+def _crops_uint8(panos_u8: np.ndarray, theta_deg, phi_deg, hw) -> np.ndarray:
+    """(b, H, W, 3) uint8 -> (b*m, *hw, 3) uint8 90°-FoV e2p crops, warped
+    on device in one batched call."""
+    out = []
+    for pano in panos_u8:
+        chw = jnp.asarray(np.moveaxis(pano, -1, 0), jnp.float32)
+        crops = e2p(chw, 90.0, jnp.asarray(theta_deg), jnp.asarray(phi_deg),
+                    tuple(hw))  # (m, 3, h, w)
+        out.append(np.moveaxis(np.asarray(crops), 1, -1))
+    return np.clip(np.concatenate(out, axis=0), 0, 255).astype(np.uint8)
+
+
+class EvalPanoGen:
+    def __init__(self, cfg: EvalConfig = EvalConfig()):
+        self.cfg = cfg
+        self.eval_metrics: Dict[str, Any] = {
+            "FID": FrechetInceptionDistance(),
+            "IS": InceptionScore(),
+            "CS": ClipScore(),
+            "rot_FID": FrechetInceptionDistance(),
+            "rot_IS": InceptionScore(),
+            "rot_CS": ClipScore(),
+            "crop_FID": FrechetInceptionDistance(),
+            "crop_IS": InceptionScore(),
+            "seam_FID": FrechetInceptionDistance(),
+            "seam_IS": InceptionScore(),
+            "mv_FID": FrechetInceptionDistance(),
+            "mv_IS": InceptionScore(),
+            "mv_CS": ClipScore(),
+            "pers_FID": FrechetInceptionDistance(),
+            "pers_IS": InceptionScore(),
+            "pers_CS": ClipScore(),
+        }
+        self._faed: Optional[FrechetAutoEncoderDistance] = None
+        self._layout = None
+        self._rng = np.random.default_rng(cfg.seed)
+        self._sample_rows = []
+
+    # lazily built so the (heavy) extractors only load when used
+    def _faed_metric(self):
+        if self._faed is None:
+            import jax
+
+            from ..train.checkpoints import CheckpointManager
+
+            net = FAEDAutoEncoder()
+            variables = net.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 64, 128, 3), jnp.float32)
+            )
+            ckpt = CheckpointManager(self.cfg.faed_ckpt)
+            restored = ckpt.restore(variables)
+            if restored is not None:
+                variables = restored
+            else:
+                print(
+                    f"WARNING: FAED weights not found at {self.cfg.faed_ckpt};"
+                    " FAED runs with random encoder (train with"
+                    " `fit --model=FAED` first for meaningful values)"
+                )
+            import functools
+
+            @functools.partial(jax.jit)
+            def encode(x):
+                return net.apply(variables, x, method=net.encode)
+
+            self._faed = FrechetAutoEncoderDistance(
+                self.cfg.pano_height, encode
+            )
+        return self._faed
+
+    def _layout_metric(self):
+        if self._layout is None and self.cfg.layout_metric:
+            try:
+                from .horizonnet import LayoutConsistency
+
+                self._layout = LayoutConsistency(self.cfg.horizonnet_ckpt)
+            except Exception as exc:  # missing weights: metric disabled
+                print(f"WARNING: layout-consistency metric disabled: {exc}")
+                self.cfg.layout_metric = False
+        return self._layout
+
+    # ------------------------------------------------------------ steps
+    def test_step(self, batch: Dict, batch_idx: int, logger=None):
+        cfg = self.cfg
+        pano_prompt = get_pano_prompt(cfg.prompt, batch)
+        pers_prompt = (
+            get_pers_prompt(cfg.prompt, batch, len(batch["prompt"]))
+            if "prompt" in batch
+            else None
+        )
+
+        # (b, 1, H, W, C) -> (b, H, W, C) uint8
+        pano_gt = _to_uint8(batch["pano"][:, 0])
+        pano_gen = _to_uint8(batch["pano_pred"][:, 0])
+
+        if batch_idx < cfg.log_test_samples and logger is not None:
+            row = {
+                "pano_id": str(batch.get("pano_id", [batch_idx])[0]),
+                "prompt": pano_prompt[0],
+            }
+            logger.log_image("test_sample/pano_pred", pano_gen[0], batch_idx)
+            logger.log_image("test_sample/pano_gt", pano_gt[0], batch_idx)
+            if "pano_layout_cond" in batch:
+                logger.log_image(
+                    "test_sample/pano_layout_cond",
+                    _to_uint8(batch["pano_layout_cond"][:, 0])[0],
+                    batch_idx,
+                )
+            self._sample_rows.append(row)
+
+        M = self.eval_metrics
+        M["FID"].update(pano_gt, real=True)
+        M["FID"].update(pano_gen, real=False)
+        M["IS"].update(pano_gen)
+        M["CS"].update(pano_gen, pano_prompt)
+        faed = self._faed_metric()
+        faed.update(pano_gt, real=True)
+        faed.update(pano_gen, real=False)
+
+        # 180° roll (seam to center) — reference EvalPanoGen.py:91-97
+        half = pano_gt.shape[2] // 2
+        gt_rot = np.roll(pano_gt, half, axis=2)
+        gen_rot = np.roll(pano_gen, half, axis=2)
+        M["rot_FID"].update(gt_rot, real=True)
+        M["rot_FID"].update(gen_rot, real=False)
+        M["rot_IS"].update(gen_rot)
+        M["rot_CS"].update(gen_rot, pano_prompt)
+
+        # random 90°-FoV crops at 299x299 — EvalPanoGen.py:99-116
+        theta, phi = random_sample_camera(cfg.num_eval_crops, self._rng)
+        theta, phi = np.rad2deg(theta), np.rad2deg(phi)
+        M["crop_FID"].update(_crops_uint8(pano_gt, theta, phi, (299, 299)), real=True)
+        gen_crops = _crops_uint8(pano_gen, theta, phi, (299, 299))
+        M["crop_FID"].update(gen_crops, real=False)
+        M["crop_IS"].update(gen_crops)
+
+        # seam crops: theta pinned to 180° — EvalPanoGen.py:118-137
+        _, phi_s = random_sample_camera(cfg.num_eval_crops, self._rng)
+        theta_s = np.full(cfg.num_eval_crops, 180.0, np.float32)
+        phi_s = np.rad2deg(phi_s)
+        M["seam_FID"].update(
+            _crops_uint8(pano_gt, theta_s, phi_s, (299, 299)), real=True
+        )
+        seam_crops = _crops_uint8(pano_gen, theta_s, phi_s, (299, 299))
+        M["seam_FID"].update(seam_crops, real=False)
+        M["seam_IS"].update(seam_crops)
+
+        # horizon-8 crops (MVDiffusion protocol) — EvalPanoGen.py:139-159
+        theta_h, phi_h = horizon_sample_camera(8)
+        theta_h, phi_h = np.rad2deg(theta_h), np.rad2deg(phi_h)
+        M["mv_FID"].update(
+            _crops_uint8(pano_gt, theta_h, phi_h, (299, 299)), real=True
+        )
+        mv_crops = _crops_uint8(pano_gen, theta_h, phi_h, (299, 299))
+        M["mv_FID"].update(mv_crops, real=False)
+        M["mv_IS"].update(mv_crops)
+        if pers_prompt is not None:
+            b = pano_gt.shape[0]
+            mv_prompts = [
+                pano_prompt[i // 8] for i in range(b * 8)
+            ] if len(pers_prompt) != b * 8 else pers_prompt
+            M["mv_CS"].update(mv_crops, mv_prompts)
+
+        # per-view saved images — EvalPanoGen.py:161-169
+        if "images_pred" in batch:
+            images_pred = _to_uint8(
+                batch["images_pred"].reshape(-1, *batch["images_pred"].shape[2:])
+            )
+            if len(images_pred) == len(theta_h) * pano_gt.shape[0]:
+                hw = images_pred.shape[1:3]
+                M["pers_FID"].update(
+                    _crops_uint8(pano_gt, theta_h, phi_h, hw), real=True
+                )
+                M["pers_FID"].update(images_pred, real=False)
+                M["pers_IS"].update(images_pred)
+            if pers_prompt is not None and len(images_pred) == len(pers_prompt):
+                M["pers_CS"].update(images_pred, pers_prompt)
+
+        if "manhattan_layout" in batch and self._layout_metric() is not None:
+            self._layout.update(
+                pano_gen[0].astype(np.float32) / 255.0,
+                np.asarray(batch["manhattan_layout"][0]),
+            )
+
+    def on_test_end(self, logger=None) -> Dict[str, float]:
+        """Compute every touched metric (reference EvalPanoGen.py:176-190)."""
+        out: Dict[str, float] = {}
+        for key, metric in self.eval_metrics.items():
+            if not metric.update_called:
+                continue
+            if key.endswith("IS"):
+                out[key], out[f"{key}_std"] = metric.compute()
+            else:
+                out[key] = metric.compute()
+        if self._faed is not None and self._faed.update_called:
+            out["FAED"] = self._faed.compute()
+        if self._layout is not None and getattr(self._layout, "update_called", False):
+            out["3D_IoU"], out["2D_IoU"] = self._layout.compute()
+        if logger is not None:
+            logger.log_summary(out)
+        return out
+
+    # ------------------------------------------------------------ driver
+    def run_eval(self, datamodule, logger, args):
+        datamodule.setup("test")
+        loader = datamodule.test_dataloader()
+        for batch_idx, batch in enumerate(loader):
+            self.test_step(batch, batch_idx, logger)
+        metrics = self.on_test_end(logger)
+        print("test metrics:", {k: round(v, 4) for k, v in metrics.items()})
+        return metrics
+
+    def fit(self, *a, **k):
+        raise SystemExit("EvalPanoGen is test-only (reference has no fit path)")

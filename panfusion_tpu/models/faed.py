@@ -241,7 +241,9 @@ class FAED:
 
     def init_params(self, rng):
         h = min(self.cfg.pano_height, 64)
-        return self.net.init(rng, jnp.zeros((1, h, h * 2, 3)), True)
+        return jax.jit(self.net.init, static_argnums=(2,))(
+            rng, jnp.zeros((1, h, h * 2, 3)), True
+        )
 
     def make_metric(self, variables) -> FrechetAutoEncoderDistance:
         def encoder_apply(x):

@@ -75,6 +75,28 @@ class PanFusionConfig:
     unet_kwargs: Optional[Dict] = None
     vae_kwargs: Optional[Dict] = None
     text_kwargs: Optional[Dict] = None
+    # named architecture preset: "sd2" (default) or "tiny" (fast smoke
+    # drives via --model.preset=tiny; shrinks all towers)
+    preset: str = "sd2"
+
+    def __post_init__(self):
+        if self.preset == "tiny":
+            self.unet_kwargs = {
+                **dict(block_out_channels=(32, 64), layers_per_block=1,
+                       heads=(1, 2), dim_head=32, context_dim=64),
+                **(self.unet_kwargs or {}),
+            }
+            # 4 levels: the pipeline's x8 pixel<->latent contract
+            # (equi_latent_hw, latent_pad*8) requires 3 downsamples
+            self.vae_kwargs = {
+                **dict(block_out_channels=(8, 8, 8, 8), layers_per_block=1),
+                **(self.vae_kwargs or {}),
+            }
+            self.text_kwargs = {
+                **dict(hidden_size=64, intermediate_size=128, num_layers=2,
+                       num_heads=2),
+                **(self.text_kwargs or {}),
+            }
 
     @property
     def pano_width(self) -> int:
@@ -106,7 +128,27 @@ class PanFusion:
         self.text_encoder = CLIPTextModel(dtype=config.dtype, **(config.text_kwargs or {}))
         self.tokenizer = load_tokenizer()
         self.schedule = make_ddim_schedule(config.diff_timestep)
+
+        # layout-conditioning ControlNets (reference get_cn,
+        # PanoGenerator.py:153-157; pers branch gated on pers_layout_cond)
+        cn_kwargs = {
+            k: unet_kwargs[k]
+            for k in ("block_out_channels", "layers_per_block", "heads",
+                      "dim_head", "context_dim")
+            if k in unet_kwargs
+        }
+        from ..nn.controlnet import ControlNet
+
+        self.pano_cn = (
+            ControlNet(dtype=config.dtype, **cn_kwargs)
+            if config.layout_cond else None
+        )
+        self.pers_cn = (
+            ControlNet(dtype=config.dtype, **cn_kwargs)
+            if (config.layout_cond and config.pers_layout_cond) else None
+        )
         self.context_dim = self.dual.context_dim if "context_dim" not in unet_kwargs else unet_kwargs["context_dim"]
+        self.n_levels = len(self.dual.block_out_channels)
 
     # ------------------------------------------------------------ params
     def init_params(self, rng: jax.Array) -> Dict[str, Any]:
@@ -121,10 +163,13 @@ class PanFusion:
             pr, (eh, ew),
             jnp.full((m,), cfg.fov, jnp.float32),
             jnp.asarray(theta), jnp.asarray(phi),
+            n_levels=self.n_levels,
         ) if cfg.use_pers_branch else None
 
         ctx_dim = self.text_encoder.hidden_size
-        dual_params = self.dual.init(
+        # jit every init: eager flax init dispatches each primitive
+        # separately — pathological over the remote-TPU tunnel
+        dual_params = jax.jit(self.dual.init)(
             r_dual,
             jnp.zeros((1, m, pr, pr, 4), cfg.dtype) if cfg.use_pers_branch else None,
             jnp.zeros((1, eh, ew, 4), cfg.dtype),
@@ -133,20 +178,41 @@ class PanFusion:
             jnp.zeros((1, 77, ctx_dim), cfg.dtype),
             sites,
         )
-        vae_params = self.vae.init(
+        vae_params = jax.jit(self.vae.init)(
             r_vae, jnp.zeros((1, 64, 64, 3), cfg.dtype), r_vae
         )
-        text_params = self.text_encoder.init(
+        text_params = jax.jit(self.text_encoder.init)(
             r_text, jnp.zeros((1, 77), jnp.int32)
         )
-        return {"dual": dual_params, "vae": vae_params, "text": text_params}
+        out = {"dual": dual_params, "vae": vae_params, "text": text_params}
+        if self.pano_cn is not None:
+            out["pano_cn"] = jax.jit(self.pano_cn.init)(
+                jax.random.fold_in(rng, 1),
+                jnp.zeros((1, eh, ew, 4), cfg.dtype),
+                jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, 77, ctx_dim), cfg.dtype),
+                jnp.zeros((1, eh * 8, ew * 8, 3), cfg.dtype),
+            )
+        if self.pers_cn is not None:
+            out["pers_cn"] = jax.jit(self.pers_cn.init)(
+                jax.random.fold_in(rng, 2),
+                jnp.zeros((1, pr, pr, 4), cfg.dtype),
+                jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, 77, ctx_dim), cfg.dtype),
+                jnp.zeros((1, pr * 8, pr * 8, 3), cfg.dtype),
+            )
+        return out
 
     # ------------------------------------------------------------ text
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _text_apply(self, text_params, ids):
+        return self.text_encoder.apply(text_params, ids)
+
     def encode_text(self, params, texts: List[str]) -> jnp.ndarray:
         """(n, 77, hidden) embeddings (reference encode_text,
         PanoGenerator.py:197-211)."""
         ids = jnp.asarray(self.tokenizer(texts), jnp.int32)
-        return self.text_encoder.apply(params["text"], ids)
+        return self._text_apply(params["text"], ids)
 
     def embed_prompt(self, params, batch: Dict, m: int):
         """(pers_ctx (b, m, 77, C), pano_ctx (b, 77, C)) — reference
@@ -159,30 +225,38 @@ class PanFusion:
         return pers_ctx, pano_ctx
 
     # ------------------------------------------------------------ vae
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _vae_encode(self, vae_params, x, rng):
+        return self.vae.apply(vae_params, x, rng, method=self.vae.sample_latent)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _vae_decode(self, vae_params, z):
+        return self.vae.apply(vae_params, z, method=self.vae.decode)
+
     def encode_pano(self, params, pano: jnp.ndarray, rng) -> jnp.ndarray:
         """(b, H, W, 3) -> (b, H/8, W/8, 4) latent with circular pad trick."""
         pad = self.cfg.latent_pad
         x = jnp.concatenate([pano[:, :, -pad * 8 :], pano, pano[:, :, : pad * 8]], axis=2)
-        z = self.vae.apply(params["vae"], x, rng, method=self.vae.sample_latent)
+        z = self._vae_encode(params["vae"], x, rng)
         return z[:, :, pad:-pad]
 
     def decode_pano(self, params, latent: jnp.ndarray) -> jnp.ndarray:
         pad = self.cfg.latent_pad
         z = jnp.concatenate([latent[:, :, -pad:], latent, latent[:, :, :pad]], axis=2)
-        img = self.vae.apply(params["vae"], z, method=self.vae.decode)
+        img = self._vae_decode(params["vae"], z)
         return img[:, :, pad * 8 : -pad * 8]
 
     def encode_views(self, params, images: jnp.ndarray, rng) -> jnp.ndarray:
         """(b, m, h, w, 3) -> (b, m, h/8, w/8, 4)."""
         b, m = images.shape[:2]
         flat = images.reshape(b * m, *images.shape[2:])
-        z = self.vae.apply(params["vae"], flat, rng, method=self.vae.sample_latent)
+        z = self._vae_encode(params["vae"], flat, rng)
         return z.reshape(b, m, *z.shape[1:])
 
     def decode_views(self, params, latents: jnp.ndarray) -> jnp.ndarray:
         b, m = latents.shape[:2]
         flat = latents.reshape(b * m, *latents.shape[2:])
-        img = self.vae.apply(params["vae"], flat, method=self.vae.decode)
+        img = self._vae_decode(params["vae"], flat)
         return img.reshape(b, m, *img.shape[1:])
 
     # ------------------------------------------------------------ noise
@@ -216,6 +290,7 @@ class PanFusion:
             theta, phi,
             rot_diff=cfg.rot_diff,
             batch=batch_cfg_b,
+            n_levels=self.n_levels,
         )
         return jax.tree.map(lambda *xs: jnp.stack(xs), *phases)
 
@@ -229,6 +304,7 @@ class PanFusion:
         phase_sites,  # pytree, leading axis = n_phases
         rng,
         num_views: int,
+        pano_cond=None,  # (b, H, W, 3) layout conditioning image
     ):
         cfg = self.cfg
         b = pano_ctx.shape[0]
@@ -256,7 +332,7 @@ class PanFusion:
         timesteps = self.schedule.timesteps
 
         def step(carry, i):
-            pers, pano = carry
+            pers, pano, cond = carry
             t = timesteps[i]
             phase = jnp.mod(i, n_phases)
             sites = jax.tree.map(lambda a: a[phase], phase_sites)
@@ -268,8 +344,19 @@ class PanFusion:
             pano2 = jnp.concatenate([pano, pano], axis=0)
             t2 = jnp.full((2 * b,), t, jnp.int32)
             sites2 = [_cfg_tile_site(s) for s in sites]
+
+            pano_res = pano_mid = None
+            if cond is not None and self.pano_cn is not None:
+                # the conditioning image rotates with the latent (reference
+                # PanFusion.py:152-153), in pixel space (x8)
+                cond = jnp.roll(cond, shift * 8, axis=2)
+                cond2 = jnp.concatenate([cond, cond], axis=0)
+                pano_res, pano_mid = self.pano_cn.apply(
+                    params["pano_cn"], pano2, t2, pano_ctx2, cond2
+                )
             eps_pers, eps_pano = self.dual.apply(
-                params["dual"], pers2, pano2, t2, pers_ctx2, pano_ctx2, sites2
+                params["dual"], pers2, pano2, t2, pers_ctx2, pano_ctx2, sites2,
+                pano_residuals=pano_res, pano_mid_residual=pano_mid,
             )
             eps_pano_u, eps_pano_c = jnp.split(eps_pano, 2, axis=0)
             eps_pano = eps_pano_u + cfg.guidance_scale * (eps_pano_c - eps_pano_u)
@@ -278,10 +365,11 @@ class PanFusion:
                 eps_u, eps_c = jnp.split(eps_pers, 2, axis=0)
                 eps_pers = eps_u + cfg.guidance_scale * (eps_c - eps_u)
                 pers = ddim_step(self.schedule, eps_pers.astype(jnp.float32), t, pers.astype(jnp.float32)).astype(cfg.dtype)
-            return (pers, pano), None
+            return (pers, pano, cond), None
 
-        (pers_latents, pano_latent), _ = jax.lax.scan(
-            step, (pers_latents, pano_latent), jnp.arange(cfg.diff_timestep)
+        (pers_latents, pano_latent, _), _ = jax.lax.scan(
+            step, (pers_latents, pano_latent, pano_cond),
+            jnp.arange(cfg.diff_timestep),
         )
 
         # un-rotate accumulated rotation
@@ -304,8 +392,14 @@ class PanFusion:
             phase_sites = jax.tree.map(
                 lambda a: jnp.repeat(a, b, axis=1) if a.ndim >= 4 else a, phase_sites
             )
+        pano_cond = None
+        if cfg.layout_cond and "pano_layout_cond" in batch:
+            pano_cond = jnp.asarray(
+                batch["pano_layout_cond"][:, 0], cfg.dtype
+            )
         pers_latents, pano_latent = self._sample_loop(
-            params, pers_ctx, pano_ctx, null_ctx, phase_sites, rng, m
+            params, pers_ctx, pano_ctx, null_ctx, phase_sites, rng, m,
+            pano_cond=pano_cond,
         )
         images = self.decode_views(params, pers_latents)
         pano = self.decode_pano(params, pano_latent)
@@ -358,7 +452,7 @@ class PanFusion:
         """EPP sites for a training camera set (built inside the step)."""
         return build_epp_sites(
             self.cfg.pers_latent_res, self.cfg.equi_latent_hw, fov, theta, phi,
-            batch=batch,
+            batch=batch, n_levels=self.n_levels,
         )
 
 

@@ -146,7 +146,11 @@ class CrossAttention(nn.Module):
 
         if bias is not None:
             bias = bias[:, None, :, :].astype(q.dtype)  # (b, 1, n, m) over heads
-        out = jax.nn.dot_product_attention(q, k, v, bias=bias)
+            from ..ops.attention import bias_attention
+
+            out = bias_attention(q, k, v, bias)
+        else:
+            out = jax.nn.dot_product_attention(q, k, v, bias=bias)
         out = out.reshape(b, n, inner)
 
         if self.out_zero_init:

@@ -1,0 +1,99 @@
+"""Biased attention for the EPP blocks: Pallas flash kernel on TPU.
+
+The EPP cross-attention carries a dense float additive bias in [-1, 1]
+(the projection masks — reference models/modules/transformer.py:57-74 feeds
+them to xformers' memory_efficient_attention). At full size the score
+tensor is (heads, 2048, 5120) per sample per direction; materializing it
+(what plain XLA attention does) is HBM-bandwidth-bound. On TPU we run the
+Pallas flash-attention kernel with additive-bias (`ab`) support, which
+streams K/V/bias tiles through VMEM and never materializes scores.
+
+`bias_attention(q, k, v, bias)`:
+  q    (b, n, heads, d)
+  k, v (b, m, heads, d)
+  bias (b, n, m) or (b, 1, n, m) float, broadcast over heads
+  -> (b, n, heads, d)
+
+Falls back to jax.nn.dot_product_attention off-TPU, for tiny test shapes
+(the kernel needs lane-aligned tiles), and under vmap/tracing contexts the
+kernel doesn't support.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _tpu_available() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu",)
+    except Exception:
+        return False
+
+
+@functools.lru_cache(maxsize=None)
+def _flash_ok(b: int, n: int, m: int, heads: int, d: int) -> bool:
+    """Shape gate for the Pallas kernel: block-divisible sequence lengths
+    and a lane-friendly head dim."""
+    if d % 8 != 0:
+        return False
+    # kernel block minima (128 query, 128 kv); tiny test configs fall back
+    return n >= 128 and m >= 128 and n % 128 == 0 and m % 128 == 0
+
+
+def bias_attention(q, k, v, bias=None, force_xla: bool = False):
+    """Multi-head attention with optional additive float bias.
+
+    Layouts follow jax.nn.dot_product_attention: (batch, seq, heads, dim).
+    """
+    if bias is not None and bias.ndim == 3:
+        bias4 = bias[:, None]
+    else:
+        bias4 = bias
+
+    b, n, h, d = q.shape
+    m = k.shape[1]
+
+    use_flash = (
+        not force_xla
+        and _tpu_available()
+        and _flash_ok(b, n, m, h, d)
+    )
+    if use_flash:
+        try:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                BlockSizes,
+                flash_attention,
+            )
+
+            # kernel layout: (b, heads, seq, dim)
+            qh = jnp.swapaxes(q, 1, 2)
+            kh = jnp.swapaxes(k, 1, 2)
+            vh = jnp.swapaxes(v, 1, 2)
+            ab = None
+            if bias4 is not None:
+                ab = jnp.broadcast_to(bias4, (b, h, n, m)).astype(jnp.float32)
+            block = BlockSizes(
+                block_q=min(512, n), block_k_major=min(512, m),
+                block_k=min(512, m), block_b=1,
+                block_q_major_dkv=min(512, n), block_k_major_dkv=min(512, m),
+                block_k_dkv=min(512, m), block_q_dkv=min(512, n),
+                block_k_major_dq=min(512, m), block_k_dq=min(512, m),
+                block_q_dq=min(512, n),
+            )
+            # the kernel computes (q@k^T + ab) * sm_scale — to match the
+            # xformers/jax.nn convention q@k^T/sqrt(d) + bias, fold the
+            # scale into q and keep sm_scale=1 so the bias stays unscaled
+            out = flash_attention(
+                qh.astype(jnp.float32) * (1.0 / (d ** 0.5)),
+                kh.astype(jnp.float32),
+                vh.astype(jnp.float32), ab=ab, sm_scale=1.0,
+                block_sizes=block,
+            )
+            return jnp.swapaxes(out, 1, 2).astype(q.dtype)
+        except Exception:
+            pass  # tracing context / kernel constraint: fall through to XLA
+
+    return jax.nn.dot_product_attention(q, k, v, bias=bias4)

@@ -27,7 +27,7 @@ def _device_batch(model: PanFusion, params, batch: Dict):
     happens here, outside jit, like the frozen CLIP in the reference)."""
     m = batch["cameras"]["theta"].shape[1]
     pers_ctx, pano_ctx = model.embed_prompt(params, batch, m)
-    return {
+    out = {
         "images": jnp.asarray(batch["images"]),
         "pano": jnp.asarray(batch["pano"][:, 0]),
         "pers_ctx": pers_ctx,
@@ -36,6 +36,11 @@ def _device_batch(model: PanFusion, params, batch: Dict):
         "theta": jnp.asarray(batch["cameras"]["theta"], jnp.float32),
         "phi": jnp.asarray(batch["cameras"]["phi"], jnp.float32),
     }
+    if "pano_layout_cond" in batch:
+        out["pano_layout_cond"] = jnp.asarray(batch["pano_layout_cond"][:, 0])
+    if "images_layout_cond" in batch:
+        out["images_layout_cond"] = jnp.asarray(batch["images_layout_cond"])
+    return out
 
 
 def fit(
@@ -53,7 +58,12 @@ def fit(
     loader = datamodule.train_dataloader()
     train_cfg.steps_per_epoch = max(1, len(loader))
 
-    state, opt = create_train_state(model, params, train_cfg)
+    from .train.params import controlnet_trainable, default_trainable
+
+    predicate = (
+        controlnet_trainable if model.cfg.layout_cond else default_trainable
+    )
+    state, opt = create_train_state(model, params, train_cfg, predicate)
     ckpt = CheckpointManager(os.path.join(logger.save_dir, "checkpoints"))
     if resume and ckpt.exists("last"):
         restored = ckpt.restore(state, "last")
@@ -82,7 +92,34 @@ def fit(
                 return state
         ckpt.save(state)
         logger.log({"epoch": epoch}, step)
+        _validate(model, state, datamodule, logger, rng, step)
     return state
+
+
+def _validate(model, state, datamodule, logger, rng, step, max_batches: int = 4):
+    """Epoch-end validation: full inference on a few val samples, logging
+    pred-vs-GT panorama pairs (reference limit_val_batches=4 main.py:65 +
+    PanFusion.log_val_image, models/pano/PanFusion.py:205-228)."""
+    try:
+        loader = datamodule.val_dataloader()
+    except Exception:
+        return
+    params = merge_params(state.trainable, state.frozen)
+    for bi, batch in enumerate(loader):
+        if bi >= max_batches:
+            break
+        rng, sub = jax.random.split(rng)
+        try:
+            _, pano = model.inference(params, batch, sub)
+        except Exception as exc:  # val must never kill training
+            print(f"WARNING: validation inference failed: {exc}")
+            return
+        logger.log_image(f"val/pano_pred_{bi}", pano[0], step)
+        if "pano" in batch:
+            gt = batch["pano"][0, 0]
+            if gt.dtype != np.uint8:
+                gt = ((np.clip(gt, -1, 1) + 1) * 127.5).astype(np.uint8)
+            logger.log_image(f"val/pano_gt_{bi}", gt, step)
 
 
 def predict(

@@ -68,6 +68,23 @@ def create_train_state(
 ) -> Tuple[TrainState, optax.GradientTransformation]:
     trainable, frozen = partition_params(params, trainable_predicate)
     opt = make_optimizer(cfg)
+    if model.cfg.layout_cond:
+        # ControlNet param group at cn_lr_scale x lr (reference
+        # PanoGenerator.py:153-157, 280-293)
+        from .params import lr_scale_mask
+
+        def is_cn(path):
+            joined = "/".join(path)
+            return "pano_cn" in joined or "pers_cn" in joined
+
+        scales = lr_scale_mask(trainable, is_cn, cfg.cn_lr_scale)
+        opt = optax.chain(
+            opt,
+            optax.masked(
+                optax.scale(cfg.cn_lr_scale),
+                jax.tree.map(lambda s: s != 1.0, scales),
+            ),
+        )
     return (
         TrainState(trainable, frozen, opt.init(trainable), jnp.zeros((), jnp.int32)),
         opt,
@@ -116,7 +133,28 @@ def make_train_step(model: PanFusion, opt: optax.GradientTransformation):
         sites = build_epp_sites_batched(
             cfg.pers_latent_res, (eh, ew),
             batch["fov"], batch["theta"], batch["phi"],
+            n_levels=model.n_levels,
         ) if cfg.use_pers_branch else None
+
+        pano_res = pano_mid = pers_res = pers_mid = None
+        if model.pano_cn is not None and "pano_layout_cond" in batch:
+            pano_res, pano_mid = model.pano_cn.apply(
+                params["pano_cn"],
+                pano_noise_z.astype(cfg.dtype), t,
+                batch["pano_ctx"].astype(cfg.dtype),
+                batch["pano_layout_cond"].astype(cfg.dtype),
+            )
+        if model.pers_cn is not None and "images_layout_cond" in batch:
+            bm = b * m
+            pers_res, pers_mid = model.pers_cn.apply(
+                params["pers_cn"],
+                noise_z.reshape(bm, *noise_z.shape[2:]).astype(cfg.dtype),
+                jnp.repeat(t, m),
+                batch["pers_ctx"].reshape(bm, *batch["pers_ctx"].shape[2:]).astype(cfg.dtype),
+                batch["images_layout_cond"].reshape(
+                    bm, *batch["images_layout_cond"].shape[2:]
+                ).astype(cfg.dtype),
+            )
 
         denoise, pano_denoise = model.dual.apply(
             params["dual"],
@@ -126,6 +164,10 @@ def make_train_step(model: PanFusion, opt: optax.GradientTransformation):
             batch["pers_ctx"].astype(cfg.dtype) if cfg.use_pers_branch else None,
             batch["pano_ctx"].astype(cfg.dtype),
             sites,
+            pers_residuals=pers_res,
+            pano_residuals=pano_res,
+            pers_mid_residual=pers_mid,
+            pano_mid_residual=pano_mid,
         )
         loss_pano = jnp.mean(
             (pano_denoise.astype(jnp.float32) - pano_noise) ** 2

@@ -25,9 +25,14 @@ def default_trainable(path: Tuple[str, ...]) -> bool:
 
 
 def controlnet_trainable(path: Tuple[str, ...]) -> bool:
-    """Layout-conditioned stage: ControlNet (+ WarpAttn stays off per
-    reference trainable_params when layout_cond, PanFusion.py:26-28)."""
-    return CONTROLNET_PATTERN in "/".join(path)
+    """Layout-conditioned stage: LoRA (x1.0) + ControlNet (x0.1 via
+    lr_scale_mask); WarpAttn stays frozen (the reference skips
+    mv_base_model.trainable_parameters when layout_cond,
+    PanFusion.py:27-28)."""
+    joined = "/".join(path)
+    return CONTROLNET_PATTERN in joined or "pano_cn" in joined or (
+        "pers_cn" in joined
+    ) or LORA_PATTERN in joined
 
 
 def partition_params(params: Dict, predicate: Callable) -> Tuple[Dict, Dict]:

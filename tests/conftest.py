@@ -8,7 +8,23 @@ Must run before jax is imported anywhere.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force, not setdefault: the session environment pins JAX_PLATFORMS to the
+# tunneled TPU platform, which would route every test compile through the
+# remote chip (and ignore the virtual 8-device CPU flag below).
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+# Persistent compilation cache: single-core XLA:CPU conv compiles take tens
+# of seconds; cache them across test runs. (The env-var spelling is not
+# honored by this jax build — set via jax.config after import.)
+import jax  # noqa: E402
+
+# The axon sitecustomize hook re-forces jax_platforms='axon,cpu' at import,
+# so the env var alone is not enough — pin the config after import too.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,123 @@
+"""Layout subsystem tests: geometry round-trips, HorizonNet targets,
+renderers, Manhattan post-proc, and IoU."""
+import numpy as np
+import pytest
+
+from panfusion_tpu.data.layout import Layout
+from panfusion_tpu.metrics.manhattan import (
+    eval_layout_iou,
+    find_peaks,
+    horizon_to_manhattan_layout,
+    polygon_area,
+    vote_value,
+)
+
+
+def square_room(half=2.0, ch=1.6, lh=3.0):
+    corners = np.array(
+        [[-half, -half], [half, -half], [half, half], [-half, half]], float
+    )
+    return Layout(ch, lh, corners)
+
+
+class TestLayout:
+    def test_coords_roundtrip(self):
+        lay = square_room()
+        coords = lay.to_layout_coords()
+        assert coords.shape == (4, 2, 2)
+        lay2 = Layout.from_layout_coords(coords, 1.6)
+        assert np.isclose(lay2.layout_height, 3.0, atol=1e-6)
+        # same corner set (order may rotate)
+        got = np.sort(np.round(lay2.corners_xz, 5).view("f8,f8"), axis=0)
+        want = np.sort(np.round(lay.corners_xz, 5).view("f8,f8"), axis=0)
+        assert (got == want).all()
+
+    def test_pos_roundtrip(self):
+        lay = square_room()
+        pos = lay.to_layout_pos((1024, 512))
+        lay2 = Layout.from_layout_pos(pos, 1.6, (1024, 512))
+        assert np.allclose(lay2.to_layout_pos((1024, 512)), pos)
+
+    def test_horizonnet_targets(self):
+        hn = square_room().to_horizonnet((1024, 512))
+        assert hn["bon"].shape == (2, 1024)
+        assert hn["cor"].shape == (1, 1024)
+        # ceiling boundary above horizon (negative v), floor below
+        assert (hn["bon"][0] < 0).all()
+        assert (hn["bon"][1] > 0).all()
+        # corner heatmap peaks at the 4 corner columns
+        assert np.isclose(hn["cor"].max(), 1.0)
+        assert (hn["cor"] > 0.99).sum() >= 4
+
+    def test_raycast_depth(self):
+        lay = square_room(half=2.0)
+        depth, plane = lay.raycast((128, 256))
+        # nearest wall distance is 2 m at the wall-facing pixel on horizon
+        assert abs(depth[64, 128] - 2.0) < 0.1
+        # ids: 4 walls + ceiling(4) + floor(5)
+        assert set(np.unique(plane)) <= set(range(6))
+        assert depth.min() > 1.0  # camera inside the room
+
+    def test_renderers(self):
+        lay = square_room()
+        maps = lay.render_layout(size=(64, 128))
+        assert set(maps) == {"wireframe", "edge_map", "orientation_map",
+                             "normal_map", "distance_map", "object2d_map"}
+        assert maps["distance_map"].shape == (64, 128)
+        assert maps["normal_map"].shape == (64, 128, 3)
+        assert maps["object2d_map"].sum() == 0  # no objects annotated
+        wf = lay.render_wireframe(size=(64, 128))
+        assert (wf > 0).sum() > 50
+
+
+class TestManhattan:
+    def test_vote_consensus(self):
+        vec = np.array([1.0, 1.01, 0.99, 1.02, 5.0, 1.0, 0.98] * 3)
+        val, score, _ = vote_value(vec, tol=0.5)
+        assert abs(val - 1.0) < 0.05
+        assert score > 0.5
+
+    def test_find_peaks_circular(self):
+        sig = np.zeros(100)
+        sig[[5, 30, 60, 95]] = [0.9, 0.8, 0.7, 0.95]
+        loc, vals = find_peaks(sig, r=9, min_v=0.05, n=4)
+        assert list(loc) == [5, 30, 60, 95]
+
+    def test_cuboid_layout_and_iou(self):
+        W, H = 1024, 512
+        bon = np.stack([np.full(W, -0.8), np.full(W, 0.8)])
+        cor = np.zeros((1, W))
+        cor[0, [100, 350, 600, 850]] = 1.0
+        cor_id, z0, z1 = horizon_to_manhattan_layout(
+            {"bon": bon, "cor": cor}, H, W, force_cuboid=True
+        )
+        assert cor_id.shape == (8, 2)
+        # ceil/floor corner pairs share x
+        assert (cor_id[0::2, 0] == cor_id[1::2, 0]).all()
+        iou3d, iou2d = eval_layout_iou(cor_id, cor_id)
+        assert iou2d > 0.99 and iou3d > 0.99
+
+    def test_iou_disjoint_vs_overlap(self):
+        sq = lambda cx: np.array(  # noqa: E731
+            [[cx + dx, dy] for dx, dy in
+             [(-0.01, -0.01), (0.01, -0.01), (0.01, 0.01), (-0.01, 0.01)]]
+        )
+        assert polygon_area(sq(0.0)) > 0
+        # project two identical square layouts directly through eval path:
+        # build interleaved cor_id from a square room
+        lay = square_room()
+        cor_id = lay.to_layout_pos((1024, 512)).reshape(-1, 2)
+        iou3d, iou2d = eval_layout_iou(cor_id, cor_id)
+        assert iou2d > 0.99
+
+    def test_layout_consistency_of_gt(self):
+        """Ground-truth bon/cor from a square room should reconstruct a
+        layout with high IoU vs the room's own corner list."""
+        lay = square_room()
+        hn = lay.to_horizonnet((1024, 512))
+        cor_id, _, _ = horizon_to_manhattan_layout(
+            hn, 512, 1024, force_cuboid=False
+        )
+        gt = lay.to_layout_pos((1024, 512)).reshape(-1, 2)
+        iou3d, iou2d = eval_layout_iou(cor_id, gt)
+        assert iou2d > 0.85, (iou2d, cor_id)

@@ -140,21 +140,9 @@ def test_unet_lora_params_exist_and_start_identity():
             if "lora" not in k
         }
 
-    def unwrap_base(tree):
-        """to_q/{base, lora_*} -> to_q contents for the lora-free model."""
-        if not isinstance(tree, dict):
-            return tree
-        out = {}
-        for k, v in tree.items():
-            if isinstance(v, dict) and "base" in v and all(
-                kk == "base" or "lora" in kk for kk in v
-            ):
-                out[k] = v["base"]
-            else:
-                out[k] = unwrap_base(v)
-        return out
-
-    params0 = {"params": unwrap_base(strip_lora(params["params"]))}
+    # rank-0 LoRADense keeps the same {base: Dense} structure, just without
+    # the lora_down/lora_up leaves — stripping them is enough
+    params0 = {"params": strip_lora(params["params"])}
     out = unet.apply(params, x, t, ctx)
     out0 = unet0.apply(params0, x, t, ctx)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out0), atol=1e-5)
