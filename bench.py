@@ -27,15 +27,13 @@ def main():
     import jax.numpy as jnp
 
     from panfusion_tpu.models import PanFusion, PanFusionConfig
+    from panfusion_tpu.models.panfusion import cast_params
 
     cfg = PanFusionConfig(dtype=jnp.bfloat16)
     model = PanFusion(cfg)
 
     rng = jax.random.PRNGKey(0)
-    params = model.init_params(rng)
-    params = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params
-    )
+    params = cast_params(model.init_params(rng), jnp.bfloat16)
 
     batch = {"pano_prompt": ["a modern living room with large windows"], "prompt": None}
 

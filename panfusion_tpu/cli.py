@@ -177,17 +177,36 @@ def main(argv=None):
     with open(os.path.join(logger.save_dir, "config.json"), "w") as f:
         json.dump(snap, f, indent=2, default=str)
 
-    if args.command == "fit":
-        tc = TrainConfig()
-        apply_overrides(tc, overrides, "trainer")
-        model.fit(dm, tc, logger, args)
-    elif args.command in ("test", "predict", "validate"):
-        model.run_eval(dm, logger, args)
-    elif args.command == "bench":
-        import subprocess
+    # profiling: PANFUSION_PROFILE=<dir> wraps the whole command in a
+    # jax.profiler trace (the reference has no tracing subsystem —
+    # SURVEY.md §5.1; on TPU this captures XLA op/HLO timelines viewable
+    # in tensorboard/xprof)
+    profile_dir = os.environ.get("PANFUSION_PROFILE")
+    ctx = (
+        jax.profiler.trace(profile_dir, create_perfetto_trace=True)
+        if profile_dir
+        else _nullcontext()
+    )
+    with ctx:
+        if args.command == "fit":
+            tc = TrainConfig()
+            apply_overrides(tc, overrides, "trainer")
+            model.fit(dm, tc, logger, args)
+        elif args.command in ("test", "predict", "validate"):
+            model.run_eval(dm, logger, args)
+        elif args.command == "bench":
+            import subprocess
 
-        subprocess.run([sys.executable, "bench.py"], check=True)
+            subprocess.run([sys.executable, "bench.py"], check=True)
     logger.finish()
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
 
 
 if __name__ == "__main__":

@@ -64,6 +64,9 @@ class PanFusionConfig:
     latent_pad: int = 8
     rot_diff: float = 90.0
     lora_rank: int = 4
+    # DDIM steps per device execution (0 = whole loop in one scan). Bounded
+    # executions survive infra watchdogs on tunneled chips; see _sample_loop.
+    scan_chunk: int = 5
     pano_pad: bool = True
     layout_cond: bool = False
     pers_layout_cond: bool = False
@@ -280,8 +283,27 @@ class PanFusion:
         )
 
     # ------------------------------------------------------------ sampling
+    def _site_dedup_map(self):
+        """Site index -> unique-resolution index (the 7 sites only span
+        n_levels-1 distinct resolutions)."""
+        from .epp import warp_attn_resolutions
+
+        resolutions = warp_attn_resolutions(
+            self.cfg.pers_latent_res, self.cfg.equi_latent_hw, self.n_levels
+        )
+        uniq = []
+        mapping = []
+        for r in resolutions:
+            if r not in uniq:
+                uniq.append(r)
+            mapping.append(uniq.index(r))
+        return tuple(mapping), len(uniq)
+
     def make_phase_sites(self, batch_cfg_b: int = 1):
-        """Stacked EPP phase cache as a pytree with leading phase axis."""
+        """EPP phase cache: per UNIQUE resolution, a site pytree stacked
+        over rotation phases. The full-size cache would be 7 sites x 4
+        phases x ~84 MB of masks; deduplicating to the 3 unique resolutions
+        (and storing masks in the compute dtype) cuts HBM by >4x."""
         cfg = self.cfg
         theta, phi = default_cameras(cfg.num_views)
         phases = build_epp_phase_cache(
@@ -292,20 +314,41 @@ class PanFusion:
             batch=batch_cfg_b,
             n_levels=self.n_levels,
         )
-        return jax.tree.map(lambda *xs: jnp.stack(xs), *phases)
+        site_map, n_uniq = self._site_dedup_map()
+        first = [site_map.index(u) for u in range(n_uniq)]
 
-    @functools.partial(jax.jit, static_argnames=("self", "num_views"))
+        def cast(x):
+            return x.astype(cfg.dtype) if x.ndim >= 3 else x
+
+        return [
+            jax.tree.map(
+                lambda *xs: jnp.stack([cast(x) for x in xs]),
+                *[ph[i] for ph in phases],
+            )
+            for i in first
+        ]
+
     def _sample_loop(
         self,
         params,
         pers_ctx,  # (b, m, 77, C) cond
         pano_ctx,  # (b, 77, C) cond
         null_ctx,  # (1, 77, C)
-        phase_sites,  # pytree, leading axis = n_phases
+        phase_sites,  # list (unique resolutions) of pytrees, leading axis = n_phases
         rng,
         num_views: int,
         pano_cond=None,  # (b, H, W, 3) layout conditioning image
     ):
+        """The 50-step CFG DDIM loop.
+
+        Dispatched as ceil(T / scan_chunk) jitted scan executions rather
+        than one: a single device execution spanning all 50 steps runs for
+        minutes and trips infrastructure watchdogs (observed on the
+        tunneled v5e: the worker is killed mid-execution); chunking bounds
+        per-execution wall-clock at negligible dispatch cost. scan_chunk=0
+        restores the single-execution scan (the right choice on directly
+        attached chips).
+        """
         cfg = self.cfg
         b = pano_ctx.shape[0]
         eh, ew = cfg.equi_latent_hw
@@ -315,9 +358,9 @@ class PanFusion:
         theta = jnp.asarray(theta)
         phi = jnp.asarray(phi)
 
-        pano_latent, pers_latents = self.init_noise(
-            rng, b, (eh, ew), (pr, pr), theta, phi
-        )
+        pano_latent, pers_latents = jax.jit(
+            self.init_noise, static_argnames=("b", "equi_hw", "pers_hw")
+        )(rng, b, (eh, ew), (pr, pr), theta, phi)
         pano_latent = pano_latent.astype(cfg.dtype)
         pers_latents = pers_latents.astype(cfg.dtype)
 
@@ -327,15 +370,44 @@ class PanFusion:
         null_e = jnp.broadcast_to(null_ctx, (b, *null_ctx.shape[1:]))
         pano_ctx2 = jnp.concatenate([null_e, pano_ctx], axis=0).astype(cfg.dtype)
 
+        T = cfg.diff_timestep
+        chunk = cfg.scan_chunk if cfg.scan_chunk > 0 else T
+        carry = (pers_latents, pano_latent, pano_cond)
+        for i0 in range(0, T, chunk):
+            n = min(chunk, T - i0)
+            carry = self._sample_chunk(
+                params, carry, pers_ctx2, pano_ctx2, phase_sites,
+                jnp.asarray(i0, jnp.int32), n, num_views,
+            )
+        pers_latents, pano_latent, _ = carry
+
+        # un-rotate accumulated rotation
+        shift = int(cfg.rot_diff / 360.0 * ew)
+        total_shift = (shift * T) % ew
+        pano_latent = jnp.roll(pano_latent, -total_shift, axis=2)
+        return pers_latents, pano_latent
+
+    @functools.partial(
+        jax.jit, static_argnames=("self", "n_steps", "num_views")
+    )
+    def _sample_chunk(
+        self, params, carry, pers_ctx2, pano_ctx2, phase_sites, i0,
+        n_steps: int, num_views: int,
+    ):
+        cfg = self.cfg
+        b = pano_ctx2.shape[0] // 2
+        eh, ew = cfg.equi_latent_hw
         n_phases = jax.tree.leaves(phase_sites)[0].shape[0]
         shift = int(cfg.rot_diff / 360.0 * ew)
         timesteps = self.schedule.timesteps
+        site_map, _ = self._site_dedup_map()
 
         def step(carry, i):
             pers, pano, cond = carry
             t = timesteps[i]
             phase = jnp.mod(i, n_phases)
-            sites = jax.tree.map(lambda a: a[phase], phase_sites)
+            uniq = [jax.tree.map(lambda a: a[phase], u) for u in phase_sites]
+            sites = [uniq[j] for j in site_map]
             # rotate pano latent (cameras already rotated in the phase cache)
             pano = jnp.roll(pano, shift, axis=2)
 
@@ -367,15 +439,8 @@ class PanFusion:
                 pers = ddim_step(self.schedule, eps_pers.astype(jnp.float32), t, pers.astype(jnp.float32)).astype(cfg.dtype)
             return (pers, pano, cond), None
 
-        (pers_latents, pano_latent, _), _ = jax.lax.scan(
-            step, (pers_latents, pano_latent, pano_cond),
-            jnp.arange(cfg.diff_timestep),
-        )
-
-        # un-rotate accumulated rotation
-        total_shift = (shift * cfg.diff_timestep) % ew
-        pano_latent = jnp.roll(pano_latent, -total_shift, axis=2)
-        return pers_latents, pano_latent
+        carry, _ = jax.lax.scan(step, carry, i0 + jnp.arange(n_steps))
+        return carry
 
     def inference(self, params, batch: Dict, rng) -> Tuple[np.ndarray, np.ndarray]:
         """Text -> (views uint8 (b,m,h,w,3), pano uint8 (b,H,W,3)).
@@ -386,7 +451,11 @@ class PanFusion:
         m = cfg.num_views
         pers_ctx, pano_ctx = self.embed_prompt(params, batch, m)
         null_ctx = self.encode_text(params, [""])
-        phase_sites = self.make_phase_sites(1)
+        if not hasattr(self, "_phase_sites_cache"):
+            # cameras are fixed at inference — build the mask cache once
+            # per process, not per call
+            self._phase_sites_cache = self.make_phase_sites(1)
+        phase_sites = self._phase_sites_cache
         b = pano_ctx.shape[0]
         if b > 1:
             phase_sites = jax.tree.map(
@@ -417,12 +486,7 @@ class PanFusion:
 
     def load_or_init_params(self, ckpt_path=None, seed: int = 0):
         params = self.init_params(jax.random.PRNGKey(seed))
-        params = jax.tree.map(
-            lambda x: x.astype(self.cfg.dtype)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32
-            else x,
-            params,
-        )
+        params = cast_params(params, self.cfg.dtype)
         if ckpt_path:
             from ..train.checkpoints import CheckpointManager, warm_start_params
 
@@ -466,6 +530,23 @@ def _cfg_tile_site(s):
         pers_coords=jnp.concatenate([s.pers_coords, s.pers_coords], axis=0),
         equi_coords=s.equi_coords,
     )
+
+
+def cast_params(params, dtype):
+    """Cast float params to `dtype` with buffer donation, so the source
+    f32 tree is freed as the cast runs (halves peak HBM at model load —
+    the full dual UNet is ~7 GB in f32)."""
+
+    @functools.partial(jax.jit, donate_argnums=0, static_argnums=1)
+    def _cast(tree, dt):
+        return jax.tree.map(
+            lambda x: x.astype(dt)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            tree,
+        )
+
+    return _cast(params, dtype)
 
 
 def tensor_to_image(x: jnp.ndarray) -> np.ndarray:

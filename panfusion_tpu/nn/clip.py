@@ -162,12 +162,20 @@ class CLIPVisionModel(nn.Module):
 def clip_image_preprocess(images_uint8: np.ndarray, size: int = 224) -> np.ndarray:
     """uint8 (b, H, W, 3) -> CLIP-normalized float (b, size, size, 3).
 
-    Bicubic-free host resize (area-style) + OpenAI CLIP mean/std."""
+    transformers CLIPProcessor contract: resize the SHORT side to `size`
+    (aspect preserved), center-crop to size x size, then OpenAI mean/std —
+    a 2:1 panorama contributes its central square, not a squashed image."""
     import cv2
 
     mean = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
     std = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
-    out = np.stack(
-        [cv2.resize(im, (size, size), interpolation=cv2.INTER_AREA) for im in images_uint8]
-    ).astype(np.float32) / 255.0
+    outs = []
+    for im in images_uint8:
+        h, w = im.shape[:2]
+        scale = size / min(h, w)
+        nh, nw = max(size, int(round(h * scale))), max(size, int(round(w * scale)))
+        r = cv2.resize(im, (nw, nh), interpolation=cv2.INTER_AREA)
+        y0, x0 = (nh - size) // 2, (nw - size) // 2
+        outs.append(r[y0:y0 + size, x0:x0 + size])
+    out = np.stack(outs).astype(np.float32) / 255.0
     return (out - mean) / std

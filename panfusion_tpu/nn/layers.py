@@ -144,13 +144,11 @@ class CrossAttention(nn.Module):
         k = k.reshape(b, m, self.heads, self.dim_head)
         v = v.reshape(b, m, self.heads, self.dim_head)
 
+        from ..ops.attention import bias_attention
+
         if bias is not None:
             bias = bias[:, None, :, :].astype(q.dtype)  # (b, 1, n, m) over heads
-            from ..ops.attention import bias_attention
-
-            out = bias_attention(q, k, v, bias)
-        else:
-            out = jax.nn.dot_product_attention(q, k, v, bias=bias)
+        out = bias_attention(q, k, v, bias)
         out = out.reshape(b, n, inner)
 
         if self.out_zero_init:

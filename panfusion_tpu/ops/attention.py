@@ -43,6 +43,16 @@ def _flash_ok(b: int, n: int, m: int, heads: int, d: int) -> bool:
     return n >= 128 and m >= 128 and n % 128 == 0 and m % 128 == 0
 
 
+def self_attention(q, k, v):
+    """Unbiased attention, flash-routed for large sequences.
+
+    XLA's dot_product_attention materializes the (heads, n, m) score tensor
+    in HBM — at the pano UNet's level-0 resolution (8192 tokens) that is
+    the dominant cost of the whole denoise step; the Pallas kernel streams
+    it through VMEM instead."""
+    return bias_attention(q, k, v, None)
+
+
 def bias_attention(q, k, v, bias=None, force_xla: bool = False):
     """Multi-head attention with optional additive float bias.
 
@@ -56,8 +66,11 @@ def bias_attention(q, k, v, bias=None, force_xla: bool = False):
     b, n, h, d = q.shape
     m = k.shape[1]
 
+    import os
+
     use_flash = (
         not force_xla
+        and os.environ.get("PANFUSION_NO_FLASH") != "1"
         and _tpu_available()
         and _flash_ok(b, n, m, h, d)
     )
@@ -74,7 +87,9 @@ def bias_attention(q, k, v, bias=None, force_xla: bool = False):
             vh = jnp.swapaxes(v, 1, 2)
             ab = None
             if bias4 is not None:
-                ab = jnp.broadcast_to(bias4, (b, h, n, m)).astype(jnp.float32)
+                # keep ab in the compute dtype — at full size this tensor is
+                # (2, 10, 2048, 5120); f32 would be 840 MB of HBM
+                ab = jnp.broadcast_to(bias4, (b, h, n, m)).astype(q.dtype)
             block = BlockSizes(
                 block_q=min(512, n), block_k_major=min(512, m),
                 block_k=min(512, m), block_b=1,
@@ -87,9 +102,8 @@ def bias_attention(q, k, v, bias=None, force_xla: bool = False):
             # xformers/jax.nn convention q@k^T/sqrt(d) + bias, fold the
             # scale into q and keep sm_scale=1 so the bias stays unscaled
             out = flash_attention(
-                qh.astype(jnp.float32) * (1.0 / (d ** 0.5)),
-                kh.astype(jnp.float32),
-                vh.astype(jnp.float32), ab=ab, sm_scale=1.0,
+                qh * jnp.asarray(1.0 / (d ** 0.5), qh.dtype),
+                kh, vh, ab=ab, sm_scale=1.0,
                 block_sizes=block,
             )
             return jnp.swapaxes(out, 1, 2).astype(q.dtype)

@@ -58,6 +58,16 @@ def fit(
     loader = datamodule.train_dataloader()
     train_cfg.steps_per_epoch = max(1, len(loader))
 
+    # multi-chip: shard over a (data, model) mesh — DP over batch, TP over
+    # large kernels / the view axis (the DDP replacement, SURVEY.md §2.8)
+    mesh = None
+    if len(jax.devices()) > 1:
+        from .parallel.mesh import make_mesh, shard_params_tp
+
+        mesh = make_mesh()
+        params = shard_params_tp(params, mesh)
+        print(f"training on mesh {dict(mesh.shape)}")
+
     from .train.params import controlnet_trainable, default_trainable
 
     predicate = (
@@ -79,6 +89,10 @@ def fit(
         for batch in loader:
             params_now = merge_params(state.trainable, state.frozen)
             dev_batch = _device_batch(model, params_now, batch)
+            if mesh is not None:
+                from .parallel.mesh import shard_batch
+
+                dev_batch = shard_batch(dev_batch, mesh)
             rng, sub = jax.random.split(rng)
             state, metrics = step_fn(state, dev_batch, sub)
             step += 1
