@@ -59,14 +59,24 @@ def fit(
     train_cfg.steps_per_epoch = max(1, len(loader))
 
     # multi-chip: shard over a (data, model) mesh — DP over batch, TP over
-    # large kernels / the view axis (the DDP replacement, SURVEY.md §2.8)
+    # large kernels / the view axis (the DDP replacement, SURVEY.md §2.8).
+    # The data axis must divide the batch and the model axis the view count;
+    # otherwise fold that axis down (worst case 1x1 = single-device).
     mesh = None
     if len(jax.devices()) > 1:
+        import math
+
         from .parallel.mesh import make_mesh, shard_params_tp
 
-        mesh = make_mesh()
-        params = shard_params_tp(params, mesh)
-        print(f"training on mesh {dict(mesh.shape)}")
+        n = len(jax.devices())
+        b = datamodule.hparams.batch_size
+        m = model.cfg.num_views
+        data_ax = math.gcd(b, n)
+        model_ax = math.gcd(m, n // data_ax)
+        if data_ax * model_ax > 1:
+            mesh = make_mesh(data_ax * model_ax, shape=(data_ax, model_ax))
+            params = shard_params_tp(params, mesh)
+            print(f"training on mesh {dict(mesh.shape)}")
 
     from .train.params import controlnet_trainable, default_trainable
 
@@ -79,6 +89,17 @@ def fit(
         restored = ckpt.restore(state, "last")
         if restored is not None:
             state = restored
+            if mesh is not None:
+                # orbax restores single-device arrays; re-place on the mesh
+                from .parallel.mesh import replicated, shard_params_tp
+                from .train.loop import TrainState
+
+                state = TrainState(
+                    shard_params_tp(state.trainable, mesh),
+                    shard_params_tp(state.frozen, mesh),
+                    jax.device_put(state.opt_state, replicated(mesh)),
+                    jax.device_put(state.step, replicated(mesh)),
+                )
             print(f"Resumed from step {int(state.step)}")
 
     step_fn = make_train_step(model, opt)

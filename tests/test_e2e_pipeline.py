@@ -1,0 +1,187 @@
+"""End-to-end integration: synthetic Matterport3D tree -> dataset batches ->
+saved "generation" results -> EvalPanoGen scoring (stubbed extractors).
+
+This pins the full data contract chain the reference exercises through
+fit/test/eval (SURVEY.md §3.1/§3.3): split files, pano + caption layout on
+disk, e2p view crops, results scanning/merging, and the metric harness."""
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture(scope="module")
+def mp3d_tree(tmp_path_factory):
+    """Two scenes x one view each, 64x128 panos + captions (+ layout JSON)."""
+    root = tmp_path_factory.mktemp("mp3d")
+    rng = np.random.default_rng(0)
+    entries = []
+    for scene, view in (("sceneA", "v0"), ("sceneB", "v1")):
+        sdir = root / scene
+        (sdir / "matterport_stitched_images").mkdir(parents=True)
+        (sdir / "matterport_aligned_images").mkdir()
+        (sdir / "blip3_stitched").mkdir()
+        (sdir / "blip3").mkdir()
+        pano = (rng.random((64, 128, 3)) * 255).astype(np.uint8)
+        Image.fromarray(pano).save(
+            sdir / "matterport_stitched_images" / f"{view}.png"
+        )
+        Image.fromarray(pano).save(
+            sdir / "matterport_aligned_images" / f"{view}.png"
+        )
+        (sdir / "blip3_stitched" / f"{view}.txt").write_text(f"a room in {scene}\n")
+        for i in range(8):
+            (sdir / "blip3" / f"{view}_{i * 45}.txt").write_text(
+                f"view {i} of {scene}\n"
+            )
+        entries.append(f"{scene}/matterport_stitched_images/{view}_x")
+    np.save(root / "train.npy", np.array([[e] for e in entries]))
+    np.save(root / "test.npy", np.array([[e] for e in entries]))
+    # layout-run split lists (lo_<split>.txt, Matterport3D.py load_split)
+    for split in ("train", "val", "test"):
+        (root / f"lo_{split}.txt").write_text("sceneA_v0\nsceneB_v1")
+
+    # layout annotations (square room)
+    anno = tmp_path_factory.mktemp("anno")
+    (anno / "label_data").mkdir()
+    for scene, view in (("sceneA", "v0"), ("sceneB", "v1")):
+        label = {
+            "cameraHeight": 1.6,
+            "layoutHeight": 3.0,
+            "layoutPoints": {
+                "points": [
+                    {"coords": [0.125, 0.5], "xyz": [-2.0, 0.0, -2.0]},
+                    {"coords": [0.375, 0.5], "xyz": [2.0, 0.0, -2.0]},
+                    {"coords": [0.625, 0.5], "xyz": [2.0, 0.0, 2.0]},
+                    {"coords": [0.875, 0.5], "xyz": [-2.0, 0.0, 2.0]},
+                ]
+            },
+        }
+        (anno / "label_data" / f"{scene}_{view}_label.json").write_text(
+            json.dumps(label)
+        )
+    return str(root), str(anno)
+
+
+def make_dm(mp3d_tree, **overrides):
+    from panfusion_tpu.data.matterport3d import Matterport3D
+
+    root, anno = mp3d_tree
+    return Matterport3D(
+        data_dir=root, layout_anno_dir=anno, pano_height=64,
+        pers_resolution=32, num_workers=0, **overrides,
+    )
+
+
+class TestDatasetContract:
+    def test_train_batch_contract(self, mp3d_tree):
+        dm = make_dm(mp3d_tree)
+        dm.setup("fit")
+        loader = dm.train_dataloader()
+        batch = next(iter(loader))
+        # the reference batch-dict contract (SURVEY.md §1-L2)
+        assert batch["pano"].shape == (1, 1, 64, 128, 3)
+        m = batch["images"].shape[1]
+        assert batch["images"].shape == (1, m, 32, 32, 3)
+        assert batch["cameras"]["K"].shape == (1, m, 3, 3)
+        assert batch["cameras"]["R"].shape == (1, m, 3, 3)
+        assert len(batch["pano_prompt"]) == 1
+        assert len(batch["prompt"]) == 8  # 8 per-view captions transposed
+        assert batch["pano"].min() >= -1.0 and batch["pano"].max() <= 1.0
+
+    def test_manhattan_layout_loading(self, mp3d_tree):
+        dm = make_dm(mp3d_tree, manhattan_layout=True, horizon_layout=True)
+        dm.setup("test")
+        batch = next(iter(dm.test_dataloader()))
+        assert batch["manhattan_layout"].shape == (1, 8, 2)
+        assert batch["horizon_layout"]["bon"].shape == (1, 2, 128)
+        assert batch["horizon_layout"]["cor"].shape == (1, 1, 128)
+
+    def test_results_roundtrip_and_eval(self, mp3d_tree, tmp_path, monkeypatch):
+        """Save fake generations in the results layout, reload them through
+        the dataset, and score with the harness."""
+        root, _ = mp3d_tree
+        result_dir = tmp_path / "test"
+        rng = np.random.default_rng(1)
+        for pano_id in ("sceneA_v0", "sceneB_v1"):
+            d = result_dir / pano_id
+            d.mkdir(parents=True)
+            Image.fromarray(
+                (rng.random((64, 128, 3)) * 255).astype(np.uint8)
+            ).save(d / "pano.png")
+            for i in range(8):
+                Image.fromarray(
+                    (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+                ).save(d / f"{i}.png")
+            (d / "prompt.txt").write_text("x\n")
+
+        dm = make_dm(mp3d_tree, result_dir=str(result_dir), batch_size=1,
+                     cam_sampler="horizon")
+        dm.setup("test")
+        batches = list(dm.test_dataloader())
+        assert len(batches) == 2
+        assert batches[0]["pano_pred"].shape == (1, 1, 64, 128, 3)
+        assert batches[0]["images_pred"].shape[1] == 8
+
+        # harness with stubbed extractors (real ones are exercised in
+        # tests/test_metrics.py)
+        import panfusion_tpu.metrics.image_metrics as im
+        from panfusion_tpu.models.eval_pano_gen import EvalConfig, EvalPanoGen
+
+        def fake_inception():
+            def run(x):
+                x = np.asarray(x)
+                f = x.reshape(x.shape[0], -1, 3).mean(1)
+                return (
+                    np.tile(f, (1, 683))[:, :2048],
+                    np.full((x.shape[0], 1000), 1e-3),
+                )
+
+            return run
+
+        monkeypatch.setattr(im, "_inception_fn", fake_inception)
+        monkeypatch.setattr(
+            im, "_clip_fns",
+            lambda: lambda x: np.ones((np.asarray(x).shape[0], 512)),
+        )
+        monkeypatch.setattr(
+            im, "default_text_embed_fn",
+            lambda: lambda texts: np.ones((len(texts), 512)),
+        )
+        ev = EvalPanoGen(EvalConfig(pano_height=64, num_eval_crops=2,
+                                    layout_metric=False))
+
+        class _Faed:
+            update_called = False
+
+            def update(self, *a, **k):
+                self.update_called = True
+
+            def compute(self):
+                return 0.0
+
+        ev._faed = _Faed()
+        for i, batch in enumerate(batches):
+            ev.test_step(batch, i)
+        out = ev.on_test_end()
+        assert {"FID", "IS", "CS", "rot_FID", "crop_FID", "seam_FID",
+                "mv_FID", "pers_FID", "pers_IS"} <= set(out)
+
+    def test_gt_as_result_fixture(self, mp3d_tree):
+        """gt_as_result feeds GT as the prediction — the reference's metric
+        self-test fixture (dataset/PanoDataset.py:187-189)."""
+        dm = make_dm(mp3d_tree, gt_as_result=True)
+        dm.setup("test")
+        batch = next(iter(dm.test_dataloader()))
+        np.testing.assert_array_equal(batch["pano_pred"], batch["pano"])
+
+    def test_predict_scan_and_repeat(self, mp3d_tree):
+        dm = make_dm(mp3d_tree, repeat_predict=3)
+        dm.setup("predict")
+        loader = dm.predict_dataloader()
+        items = list(loader)
+        assert len(items) == 2 * 3
+        ids = [b["pano_id"][0] for b in items]
+        assert len(set(ids)) == 6  # repeat ids distinct

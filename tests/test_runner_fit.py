@@ -1,0 +1,70 @@
+"""Runner fit loop: one real optimization step through runner.fit with the
+synthetic MP3D tree — covers device-batch building, the jitted train step,
+time-interval checkpointing, save/resume, and epoch-end validation."""
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def tiny_model():
+    import jax.numpy as jnp
+
+    from panfusion_tpu.models.panfusion import PanFusion, PanFusionConfig
+
+    cfg = PanFusionConfig(
+        pano_height=64, pers_resolution=32, num_views=8, diff_timestep=2,
+        latent_pad=1, scan_chunk=0,
+        unet_kwargs=dict(block_out_channels=(8, 16), heads=(1, 1),
+                         dim_head=8, context_dim=16, layers_per_block=1),
+        vae_kwargs=dict(block_out_channels=(4, 4, 4, 4), layers_per_block=1),
+        text_kwargs=dict(hidden_size=16, intermediate_size=32, num_layers=1,
+                         num_heads=1),
+    )
+    return PanFusion(cfg)
+
+
+def test_fit_step_checkpoint_resume(tiny_model, tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+
+    from PIL import Image
+
+    # build a minimal one-scene tree inline (no fixture reuse across files)
+    root = tmp_path / "mp3d"
+    sdir = root / "s1"
+    (sdir / "matterport_stitched_images").mkdir(parents=True)
+    (sdir / "blip3_stitched").mkdir()
+    (sdir / "blip3").mkdir()
+    rng = np.random.default_rng(0)
+    Image.fromarray((rng.random((64, 128, 3)) * 255).astype(np.uint8)).save(
+        sdir / "matterport_stitched_images" / "v.png"
+    )
+    (sdir / "blip3_stitched" / "v.txt").write_text("a tiny room\n")
+    for i in range(8):
+        (sdir / "blip3" / f"v_{i * 45}.txt").write_text(f"view {i}\n")
+    np.save(root / "train.npy", np.array([["s1/matterport_stitched_images/v_x"]]))
+    np.save(root / "test.npy", np.array([["s1/matterport_stitched_images/v_x"]]))
+
+    from panfusion_tpu.data.matterport3d import Matterport3D
+    from panfusion_tpu.runner import fit
+    from panfusion_tpu.train.logging import ExperimentLogger
+    from panfusion_tpu.train.loop import TrainConfig
+
+    dm = Matterport3D(
+        data_dir=str(root), pano_height=64, pers_resolution=32,
+        cam_sampler="horizon", num_workers=0, batch_size=1,
+    )
+    logger = ExperimentLogger(log_dir=str(tmp_path / "logs"), run_id="t1")
+    tc = TrainConfig(max_epochs=1)
+    state = fit(tiny_model, dm, tc, logger, max_steps=1, seed=0)
+    assert int(state.step) == 1
+
+    ckpt_dir = os.path.join(logger.save_dir, "checkpoints", "last")
+    assert os.path.isdir(ckpt_dir)
+
+    # resume: a second fit restores step 1 and runs one more epoch
+    logger2 = ExperimentLogger(log_dir=str(tmp_path / "logs"), run_id="t1")
+    tc2 = TrainConfig(max_epochs=2)
+    state2 = fit(tiny_model, dm, tc2, logger2, max_steps=2, seed=0)
+    assert int(state2.step) == 2
