@@ -37,16 +37,19 @@ class DownBlock(nn.Module):
     context_dim: Optional[int] = None
     add_downsample: bool = True
     lora_rank: int = 0
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
+        Res = nn.remat(ResnetBlock) if self.remat else ResnetBlock
+        Attn = nn.remat(SpatialTransformer) if self.remat else SpatialTransformer
         self.resnets = tuple(
-            ResnetBlock(self.out_channels, dtype=self.dtype, name=f"resnets_{i}")
+            Res(self.out_channels, dtype=self.dtype, name=f"resnets_{i}")
             for i in range(self.num_layers)
         )
         if self.heads:
             self.attentions = tuple(
-                SpatialTransformer(
+                Attn(
                     self.out_channels, self.heads, self.dim_head, 1,
                     self.context_dim, self.lora_rank, dtype=self.dtype,
                     name=f"attentions_{i}",
@@ -80,15 +83,18 @@ class MidBlock(nn.Module):
     dim_head: int = 64
     context_dim: Optional[int] = None
     lora_rank: int = 0
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
+        Res = nn.remat(ResnetBlock) if self.remat else ResnetBlock
+        Attn = nn.remat(SpatialTransformer) if self.remat else SpatialTransformer
         self.resnets = (
-            ResnetBlock(self.channels, dtype=self.dtype, name="resnets_0"),
-            ResnetBlock(self.channels, dtype=self.dtype, name="resnets_1"),
+            Res(self.channels, dtype=self.dtype, name="resnets_0"),
+            Res(self.channels, dtype=self.dtype, name="resnets_1"),
         )
         self.attentions = (
-            SpatialTransformer(
+            Attn(
                 self.channels, self.heads, self.dim_head, 1, self.context_dim,
                 self.lora_rank, dtype=self.dtype, name="attentions_0",
             ),
@@ -109,16 +115,19 @@ class UpBlock(nn.Module):
     context_dim: Optional[int] = None
     add_upsample: bool = True
     lora_rank: int = 0
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
+        Res = nn.remat(ResnetBlock) if self.remat else ResnetBlock
+        Attn = nn.remat(SpatialTransformer) if self.remat else SpatialTransformer
         self.resnets = tuple(
-            ResnetBlock(self.out_channels, dtype=self.dtype, name=f"resnets_{i}")
+            Res(self.out_channels, dtype=self.dtype, name=f"resnets_{i}")
             for i in range(self.num_layers)
         )
         if self.heads:
             self.attentions = tuple(
-                SpatialTransformer(
+                Attn(
                     self.out_channels, self.heads, self.dim_head, 1,
                     self.context_dim, self.lora_rank, dtype=self.dtype,
                     name=f"attentions_{i}",
@@ -155,6 +164,10 @@ class UNet2DCondition(nn.Module):
     dim_head: int = 64
     context_dim: int = 1024
     lora_rank: int = 0
+    # rematerialize resnet/attention blocks in the backward pass (the
+    # reference enables gradient checkpointing on both UNets,
+    # PanoGenerator.py:164); no-op for inference
+    remat: bool = True
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -174,6 +187,7 @@ class UNet2DCondition(nn.Module):
                     context_dim=self.context_dim,
                     add_downsample=not is_last,
                     lora_rank=self.lora_rank,
+                    remat=self.remat,
                     dtype=self.dtype,
                     name=f"down_blocks_{i}",
                 )
@@ -182,7 +196,8 @@ class UNet2DCondition(nn.Module):
 
         self.mid_block = MidBlock(
             ch[-1], self.heads[-1], self.dim_head, self.context_dim,
-            self.lora_rank, dtype=self.dtype, name="mid_block",
+            self.lora_rank, remat=self.remat, dtype=self.dtype,
+            name="mid_block",
         )
 
         up = []
@@ -200,6 +215,7 @@ class UNet2DCondition(nn.Module):
                     context_dim=self.context_dim,
                     add_upsample=not is_last,
                     lora_rank=self.lora_rank,
+                    remat=self.remat,
                     dtype=self.dtype,
                     name=f"up_blocks_{i}",
                 )

@@ -90,13 +90,20 @@ def bias_attention(q, k, v, bias=None, force_xla: bool = False):
                 # keep ab in the compute dtype — at full size this tensor is
                 # (2, 10, 2048, 5120); f32 would be 840 MB of HBM
                 ab = jnp.broadcast_to(bias4, (b, h, n, m)).astype(q.dtype)
+            def pick(x):
+                # largest power-of-two block <= 512 dividing the length
+                # (fwd AND bwd kernels require exact divisibility)
+                for cand in (512, 256, 128):
+                    if x % cand == 0:
+                        return cand
+                return x
+
+            bq, bk = pick(n), pick(m)
             block = BlockSizes(
-                block_q=min(512, n), block_k_major=min(512, m),
-                block_k=min(512, m), block_b=1,
-                block_q_major_dkv=min(512, n), block_k_major_dkv=min(512, m),
-                block_k_dkv=min(512, m), block_q_dkv=min(512, n),
-                block_k_major_dq=min(512, m), block_k_dq=min(512, m),
-                block_q_dq=min(512, n),
+                block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+                block_q_major_dkv=bq, block_k_major_dkv=bk,
+                block_k_dkv=bk, block_q_dkv=bq,
+                block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
             )
             # the kernel computes (q@k^T + ab) * sm_scale — to match the
             # xformers/jax.nn convention q@k^T/sqrt(d) + bias, fold the

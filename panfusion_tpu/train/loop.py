@@ -67,6 +67,14 @@ def create_train_state(
     trainable_predicate: Callable = default_trainable,
 ) -> Tuple[TrainState, optax.GradientTransformation]:
     trainable, frozen = partition_params(params, trainable_predicate)
+    if model.cfg.dtype != jnp.float32:
+        # mixed precision: frozen towers live in the compute dtype (the
+        # reference keeps VAE/CLIP fp16 and only the trainable set matters
+        # numerically, PanoGenerator.py:116-130); master trainable params
+        # stay f32 for the optimizer. Saves ~4.3 GB HBM at SD2 size.
+        from ..models.panfusion import cast_params
+
+        frozen = cast_params(frozen, model.cfg.dtype)
     opt = make_optimizer(cfg)
     if model.cfg.layout_cond:
         # ControlNet param group at cn_lr_scale x lr (reference
