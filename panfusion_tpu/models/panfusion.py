@@ -415,7 +415,7 @@ class PanFusion:
             pers2 = jnp.concatenate([pers, pers], axis=0)
             pano2 = jnp.concatenate([pano, pano], axis=0)
             t2 = jnp.full((2 * b,), t, jnp.int32)
-            sites2 = [_cfg_tile_site(s) for s in sites]
+            sites2 = [_cfg_tile_site(s, 2 * b, num_views) for s in sites]
 
             pano_res = pano_mid = None
             if cond is not None and self.pano_cn is not None:
@@ -457,10 +457,6 @@ class PanFusion:
             self._phase_sites_cache = self.make_phase_sites(1)
         phase_sites = self._phase_sites_cache
         b = pano_ctx.shape[0]
-        if b > 1:
-            phase_sites = jax.tree.map(
-                lambda a: jnp.repeat(a, b, axis=1) if a.ndim >= 4 else a, phase_sites
-            )
         pano_cond = None
         if cfg.layout_cond and "pano_layout_cond" in batch:
             pano_cond = jnp.asarray(
@@ -520,14 +516,22 @@ class PanFusion:
         )
 
 
-def _cfg_tile_site(s):
-    """Duplicate a site along batch for the (uncond, cond) CFG pair."""
+def _cfg_tile_site(s, b2: int, m: int):
+    """Broadcast a (possibly batch-1 cached) site to the CFG batch b2.
+
+    Masks broadcast for free (no HBM copy until XLA needs one); coords tile
+    over samples. Lets one cached site serve any prompt batch."""
     from ..nn.epp import EPPSite
 
+    reps = (b2 * m) // s.pers_coords.shape[0]
     return EPPSite(
-        pers_mask=jnp.concatenate([s.pers_mask, s.pers_mask], axis=0),
-        equi_mask=jnp.concatenate([s.equi_mask, s.equi_mask], axis=0),
-        pers_coords=jnp.concatenate([s.pers_coords, s.pers_coords], axis=0),
+        pers_mask=jnp.broadcast_to(
+            s.pers_mask[:1], (b2, *s.pers_mask.shape[1:])
+        ),
+        equi_mask=jnp.broadcast_to(
+            s.equi_mask[:1], (b2, *s.equi_mask.shape[1:])
+        ),
+        pers_coords=jnp.tile(s.pers_coords, (reps, 1, 1, 1)),
         equi_coords=s.equi_coords,
     )
 

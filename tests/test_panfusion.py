@@ -114,3 +114,28 @@ def test_pano_only_variant():
     params = model.init_params(jax.random.PRNGKey(0))
     names = str(jax.tree_util.tree_structure(params["dual"]))
     assert "pano_unet" in names and "cp_blocks" not in names
+
+
+def test_inference_batched_prompts():
+    """b=2 prompt batch through the cached (batch-1) phase sites — the CFG
+    tile broadcasts sites instead of requiring per-batch caches."""
+    import jax
+
+    from panfusion_tpu.models.panfusion import PanFusion, PanFusionConfig
+
+    cfg = PanFusionConfig(
+        pano_height=64, pers_resolution=32, num_views=2, diff_timestep=2,
+        latent_pad=1, scan_chunk=1,
+        unet_kwargs=dict(block_out_channels=(8, 16), heads=(1, 1),
+                         dim_head=8, context_dim=16, layers_per_block=1),
+        vae_kwargs=dict(block_out_channels=(4, 4, 4, 4), layers_per_block=1),
+        text_kwargs=dict(hidden_size=16, intermediate_size=32, num_layers=1,
+                         num_heads=1),
+    )
+    model = PanFusion(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    images, pano = model.inference(
+        params, {"pano_prompt": ["a room", "a beach"]}, jax.random.PRNGKey(1)
+    )
+    assert images.shape == (2, 2, 32, 32, 3)
+    assert pano.shape == (2, 64, 128, 3)
