@@ -31,12 +31,14 @@ def _inception_fn():
     net = InceptionV3()
     variables = load_inception_variables(net)
 
+    # params as jit ARGS, not closure constants: closed-over weights get
+    # baked into the HLO (100 MB+), which remote-compile relays reject
     @jax.jit
-    def run(x):
-        feats, logits = net.apply(variables, x)
+    def run(v, x):
+        feats, logits = net.apply(v, x)
         return feats, jax.nn.softmax(logits, axis=-1)
 
-    return run
+    return functools.partial(run, variables)
 
 
 @functools.lru_cache(maxsize=1)
@@ -60,8 +62,8 @@ def _clip_fns():
     path = os.path.join("weights", "clip_vision.npz")
     if os.path.exists(path):
         variables = _unflatten_into(variables, dict(np.load(path)))
-    run = jax.jit(lambda x: net.apply(variables, x))
-    return run
+    run = jax.jit(lambda v, x: net.apply(v, x))
+    return functools.partial(run, variables)
 
 
 @functools.lru_cache(maxsize=1)
@@ -94,15 +96,15 @@ def default_text_embed_fn():
         variables = _unflatten_into(variables, flat)
 
     @jax.jit
-    def run(ids):
-        hidden = net.apply(variables, ids)  # (n, 77, d)
+    def run(v, pr, ids):
+        hidden = net.apply(v, ids)  # (n, 77, d)
         eos_pos = jnp.argmax(ids == 49407, axis=-1)
         pooled = hidden[jnp.arange(ids.shape[0]), eos_pos]
-        return pooled @ proj
+        return pooled @ pr
 
     def embed(texts):
         ids = jnp.asarray(tokenizer(list(texts)), jnp.int32)
-        return run(ids)
+        return run(variables, proj, ids)
 
     return embed
 

@@ -121,9 +121,10 @@ class EvalPanoGen:
                 )
             import functools
 
-            @functools.partial(jax.jit)
-            def encode(x):
-                return net.apply(variables, x, method=net.encode)
+            # params as jit args (closure constants bloat the HLO past
+            # remote-compile body limits)
+            run = jax.jit(lambda v, x: net.apply(v, x, method=net.encode))
+            encode = functools.partial(run, variables)
 
             self._faed = FrechetAutoEncoderDistance(
                 self.cfg.pano_height, encode

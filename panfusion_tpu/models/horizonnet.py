@@ -235,11 +235,12 @@ class HorizonNet:
         return variables
 
     def infer_fn(self, variables):
-        @jax.jit
-        def run(x):
-            return self.net.apply(variables, x, False)
+        import functools
 
-        return run
+        run = jax.jit(
+            lambda v, x: self.net.apply(v, x, False)
+        )
+        return functools.partial(run, variables)
 
     def predict_layout(self, variables, pano_pm1: np.ndarray,
                        normalize: bool = False):
