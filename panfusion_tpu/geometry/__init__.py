@@ -15,6 +15,7 @@ from .sampling import (
     icosahedron_sample_camera,
     random_sample_camera,
 )
+from .stretch import cor2xybound, pano_stretch, sample_stretch_factors
 
 __all__ = [
     "Cubemap",
@@ -37,4 +38,7 @@ __all__ = [
     "horizon_sample_camera",
     "icosahedron_sample_camera",
     "random_sample_camera",
+    "pano_stretch",
+    "cor2xybound",
+    "sample_stretch_factors",
 ]
