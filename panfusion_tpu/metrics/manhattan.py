@@ -259,6 +259,11 @@ def gen_walls(peak_x: np.ndarray, coory: np.ndarray, z=50, w: int = 1024,
         walls = _fit_walls_cuboid(xy, seg, tol)
     else:
         walls = _fit_walls_general(peak_x, xy, seg, tol)
+    if len(walls) < 2:
+        # degenerate corner heatmap (e.g. untrained net): no solvable
+        # footprint — callers fall back to the cuboid grid (reference
+        # models/horizonnet/HorizonNet.py:140-148)
+        raise ValueError(f"cannot fit a wall footprint: {len(walls)} walls")
 
     corners = []
     for j, wall in enumerate(walls):

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Standalone HorizonNet layout inference over an image glob.
+
+Capability parity with the vendored inference CLI (reference
+external/HorizonNet/inference.py:138-216): for every equirectangular image,
+run the layout network, solve the Manhattan layout, and dump
+``<name>.json`` with the plane heights and normalized corner coordinates
+(`{z0, z1, uv: [[u, v], ...]}`), plus an optional boundary-overlay
+visualization panel.
+
+Usage:
+  python tools/horizon_infer.py --img_glob 'data/*.png' --output_dir out/ \
+      [--ckpt weights/horizonnet] [--visualize] [--force_cuboid]
+"""
+import argparse
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--img_glob", required=True,
+                   help="glob of equirectangular images (quote it)")
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--ckpt", default=os.path.join("weights", "horizonnet"),
+                   help="converted HorizonNet checkpoint directory")
+    p.add_argument("--visualize", action="store_true",
+                   help="also write <name>.raw.png boundary overlays")
+    p.add_argument("--force_cuboid", action="store_true",
+                   help="restrict the solver to 4-wall layouts")
+    args = p.parse_args()
+
+    paths = sorted(glob.glob(args.img_glob))
+    if not paths:
+        print("no images found", file=sys.stderr)
+        return 1
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    import panfusion_tpu
+
+    panfusion_tpu.enable_compilation_cache()
+    from PIL import Image
+
+    from panfusion_tpu.metrics.manhattan import horizon_to_manhattan_layout
+    from panfusion_tpu.models.horizonnet import (
+        HorizonNet,
+        mask_vertical_fov,
+        visualize_boundaries,
+    )
+
+    model = HorizonNet()
+    variables = model.load_variables(args.ckpt)
+
+    for path in paths:
+        name = os.path.splitext(os.path.basename(path))[0]
+        img = Image.open(path).convert("RGB").resize((1024, 512),
+                                                     Image.BICUBIC)
+        x = np.asarray(img, np.float32) / 127.5 - 1.0  # [-1, 1]
+        x = x[None]
+        masked = mask_vertical_fov(x, model.cfg.vertical_fov)
+        bon, cor = (np.asarray(a) for a in model.infer_fn(variables)(masked))
+        H, W = x.shape[1:3]
+        try:
+            cor_id, z0, z1 = horizon_to_manhattan_layout(
+                {"bon": bon[0], "cor": cor[0]}, H, W,
+                force_cuboid=args.force_cuboid,
+            )
+        except Exception as e:
+            # cuboid fallback grid (reference HorizonNet.py:141-148; the
+            # reference emits floor rows at even indices there — we keep
+            # the ceil/floor-interleaved convention the rest of the stack
+            # expects, a deliberate fix)
+            print(f"{name}: layout solve failed ({e}); cuboid fallback",
+                  file=sys.stderr)
+            z0, z1 = 50.0, -50.0
+            cor_id = np.array(
+                [[k // 2 * (W // 4), H // 2 + ((k % 2) * 2 - 1) * H // 4]
+                 for k in range(8)], np.float32)
+        out = {
+            "z0": float(z0),
+            "z1": float(z1),
+            "uv": [[float(u) / W, float(v) / H] for u, v in cor_id],
+        }
+        with open(os.path.join(args.output_dir, f"{name}.json"), "w") as f:
+            json.dump(out, f)
+        if args.visualize:
+            panel = visualize_boundaries(
+                (masked[0] + 1) / 2, bon[0], cor[0])
+            Image.fromarray(panel).save(
+                os.path.join(args.output_dir, f"{name}.raw.png"))
+        print(f"{name}: {len(cor_id) // 2} walls, z1={z1:.2f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
