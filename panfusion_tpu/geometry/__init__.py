@@ -16,6 +16,7 @@ from .sampling import (
     random_sample_camera,
 )
 from .stretch import cor2xybound, pano_stretch, sample_stretch_factors
+from .vp_align import find_main_directions, pano_vp_align, rotate_panorama
 
 __all__ = [
     "Cubemap",
@@ -41,4 +42,7 @@ __all__ = [
     "pano_stretch",
     "cor2xybound",
     "sample_stretch_factors",
+    "pano_vp_align",
+    "find_main_directions",
+    "rotate_panorama",
 ]
