@@ -66,7 +66,8 @@ class PanFusionConfig:
     lora_rank: int = 4
     # DDIM steps per device execution (0 = whole loop in one scan). Bounded
     # executions survive infra watchdogs on tunneled chips; see _sample_loop.
-    scan_chunk: int = 5
+    # 25 measured best on the tunneled v5e (interleaved A/B vs 5/10/17/50).
+    scan_chunk: int = 25
     pano_pad: bool = True
     layout_cond: bool = False
     pers_layout_cond: bool = False
@@ -338,6 +339,7 @@ class PanFusion:
         rng,
         num_views: int,
         pano_cond=None,  # (b, H, W, 3) layout conditioning image
+        mesh=None,  # jax.sharding.Mesh: shard the view axis over "model"
     ):
         """The 50-step CFG DDIM loop.
 
@@ -369,6 +371,20 @@ class PanFusion:
         pers_ctx2 = jnp.concatenate([null_p, pers_ctx], axis=0).astype(cfg.dtype)
         null_e = jnp.broadcast_to(null_ctx, (b, *null_ctx.shape[1:]))
         pano_ctx2 = jnp.concatenate([null_e, pano_ctx], axis=0).astype(cfg.dtype)
+
+        if mesh is not None:
+            # view-parallel serving: the pers branch (the bulk of the
+            # compute) shards its m axis over "model"; the pano branch and
+            # EPP sites replicate — XLA inserts the WarpAttn KV gathers
+            # over ICI (SURVEY.md §5.7's sequence-parallel analog)
+            from ..parallel.mesh import batch_view_sharding, replicated
+
+            bv = batch_view_sharding(mesh)
+            rep = replicated(mesh)
+            pers_latents = jax.device_put(pers_latents, bv)
+            pano_latent = jax.device_put(pano_latent, rep)
+            pers_ctx2 = jax.device_put(pers_ctx2, bv)
+            pano_ctx2 = jax.device_put(pano_ctx2, rep)
 
         T = cfg.diff_timestep
         chunk = cfg.scan_chunk if cfg.scan_chunk > 0 else T
@@ -442,10 +458,28 @@ class PanFusion:
         carry, _ = jax.lax.scan(step, carry, i0 + jnp.arange(n_steps))
         return carry
 
-    def inference(self, params, batch: Dict, rng) -> Tuple[np.ndarray, np.ndarray]:
+    def prepare_inference_mesh(self, params):
+        """(params, mesh) for multi-chip serving: when more than one device
+        is visible, build a (1, model) mesh sharding the view axis and
+        TP-shard the large kernels; single device -> (params, None)."""
+        import math
+
+        n = len(jax.devices())
+        model_ax = math.gcd(self.cfg.num_views, n)
+        if model_ax <= 1 or not self.cfg.use_pers_branch:
+            # PanoOnly has no view axis to shard; stay single-device
+            return params, None
+        from ..parallel.mesh import make_mesh, shard_params_tp
+
+        mesh = make_mesh(model_ax, shape=(1, model_ax))
+        return shard_params_tp(params, mesh), mesh
+
+    def inference(self, params, batch: Dict, rng,
+                  mesh=None) -> Tuple[np.ndarray, np.ndarray]:
         """Text -> (views uint8 (b,m,h,w,3), pano uint8 (b,H,W,3)).
 
-        Parity with reference inference (PanFusion.py:125-182).
+        Parity with reference inference (PanFusion.py:125-182). Pass a
+        mesh (from prepare_inference_mesh) to shard the views over chips.
         """
         cfg = self.cfg
         m = cfg.num_views
@@ -464,7 +498,7 @@ class PanFusion:
             )
         pers_latents, pano_latent = self._sample_loop(
             params, pers_ctx, pano_ctx, null_ctx, phase_sites, rng, m,
-            pano_cond=pano_cond,
+            pano_cond=pano_cond, mesh=mesh,
         )
         images = self.decode_views(params, pers_latents)
         pano = self.decode_pano(params, pano_latent)
@@ -556,5 +590,5 @@ def cast_params(params, dtype):
 def tensor_to_image(x: jnp.ndarray) -> np.ndarray:
     """[-1, 1] float NHWC -> uint8 (reference models/modules/utils.py
     tensor_to_image contract)."""
-    arr = np.asarray(x.astype(jnp.float32))
+    arr = np.nan_to_num(np.asarray(x.astype(jnp.float32)))
     return ((np.clip(arr, -1, 1) + 1) * 127.5).astype(np.uint8)

@@ -177,6 +177,11 @@ def predict(
         if mode == "predict"
         else datamodule.test_dataloader()
     )
+    # multi-chip serving: shard the view axis over the mesh when more than
+    # one device is visible (no-op on a single chip)
+    params, mesh = model.prepare_inference_mesh(params)
+    if mesh is not None:
+        print(f"predicting on mesh {dict(mesh.shape)}")
     rng = jax.random.PRNGKey(seed)
     for bi, batch in enumerate(loader):
         out_dir = os.path.join(logger.save_dir, mode, batch["pano_id"][0])
@@ -184,7 +189,7 @@ def predict(
         if os.path.exists(prompt_path):
             continue
         rng, sub = jax.random.split(rng)
-        images, pano = model.inference(params, batch, sub)
+        images, pano = model.inference(params, batch, sub, mesh=mesh)
         os.makedirs(out_dir, exist_ok=True)
         Image.fromarray(pano[0]).save(os.path.join(out_dir, f"pano.{ext}"))
         if mode == "test":
