@@ -264,6 +264,9 @@ class PanFusion:
         return img.reshape(b, m, *img.shape[1:])
 
     # ------------------------------------------------------------ noise
+    @functools.partial(
+        jax.jit, static_argnames=("self", "b", "equi_hw", "pers_hw")
+    )
     def init_noise(self, rng, b: int, equi_hw, pers_hw, theta, phi):
         """Correlated noise: one pano field, e2p-nearest-warped to views
         (reference PanFusion.py:30-43). Returns NHWC (b,eh,ew,4) and
@@ -360,9 +363,11 @@ class PanFusion:
         theta = jnp.asarray(theta)
         phi = jnp.asarray(phi)
 
-        pano_latent, pers_latents = jax.jit(
-            self.init_noise, static_argnames=("b", "equi_hw", "pers_hw")
-        )(rng, b, (eh, ew), (pr, pr), theta, phi)
+        # init_noise is jitted with cached tracing (a fresh jax.jit wrapper
+        # per call would re-trace the e2p warp on every inference)
+        pano_latent, pers_latents = self.init_noise(
+            rng, b, (eh, ew), (pr, pr), theta, phi
+        )
         pano_latent = pano_latent.astype(cfg.dtype)
         pers_latents = pers_latents.astype(cfg.dtype)
 
@@ -587,8 +592,17 @@ def cast_params(params, dtype):
     return _cast(params, dtype)
 
 
-def tensor_to_image(x: jnp.ndarray) -> np.ndarray:
+@jax.jit
+def _to_uint8_device(x: jnp.ndarray) -> jnp.ndarray:
+    x = jnp.nan_to_num(x.astype(jnp.float32))
+    return ((jnp.clip(x, -1.0, 1.0) + 1.0) * 127.5).astype(jnp.uint8)
+
+
+def tensor_to_image(x) -> np.ndarray:
     """[-1, 1] float NHWC -> uint8 (reference models/modules/utils.py
-    tensor_to_image contract)."""
-    arr = np.nan_to_num(np.asarray(x.astype(jnp.float32)))
-    return ((np.clip(arr, -1, 1) + 1) * 127.5).astype(np.uint8)
+    tensor_to_image contract). The cast runs on device so only uint8
+    crosses the host link (4x less transfer than float32)."""
+    if isinstance(x, np.ndarray):
+        x = np.nan_to_num(x.astype(np.float32))
+        return ((np.clip(x, -1, 1) + 1) * 127.5).astype(np.uint8)
+    return np.asarray(_to_uint8_device(x))
