@@ -118,17 +118,23 @@ def pano_stretch(img: np.ndarray, corners: np.ndarray, kx: float, ky: float,
 
 
 def cor2xybound(cor: np.ndarray) -> Tuple[float, float, float, float]:
-    """(xmin, ymin, xmax, ymax) of the room footprint spanned by corner
-    annotations, used to clip stretch factors so walls stay in a sane
-    0.5..10 m range (reference dataset.py:188-204)."""
+    """(xmin, ymin, xmax, ymax) wall-distance bounds of the room footprint
+    spanned by corner annotations, normalized so a 3-unit room height maps
+    the camera-to-wall distances into the [0.5, 10] clipping envelope —
+    the exact reference formula (dataset.py:188-207)."""
     corU = cor[0::2]
+    corB = cor[1::2]
+    zU = -50.0
     u = coorx2u(corU[:, 0])
     vU = coory2v(corU[:, 1])
-    x, y = uv2xy(u, vU, z=-50)
-    # wall distances along the two world axes
-    ax = np.abs(x) / 50.0
-    ay = np.abs(y) / 50.0
-    return float(ax.min()), float(ay.min()), float(ax.max()), float(ay.max())
+    vB = coory2v(corB[:, 1])
+    x, y = uv2xy(u, vU, z=zU)
+    c = np.sqrt(x ** 2 + y ** 2)
+    zB = c * np.tan(vB)
+    S = 3.0 / abs(zB.mean() - zU)
+    dx = (abs(x.min() * S), abs(x.max() * S))
+    dy = (abs(y.min() * S), abs(y.max() * S))
+    return min(dx), min(dy), max(dx), max(dy)
 
 
 def sample_stretch_factors(rng: np.random.Generator, cor: np.ndarray,

@@ -43,19 +43,12 @@ from .sampling import icosahedron_sample_camera
 def view_rays(fov_deg: float, theta_deg: float, phi_deg: float,
               h: int, w: int) -> np.ndarray:
     """(h, w, 3) world-frame unit rays of a perspective view — the same
-    camera model as host_grids.map_pers_pix_to_equi_np."""
-    hfov = (h / w) * fov_deg
-    w_len = np.tan(np.deg2rad(fov_deg / 2.0))
-    h_len = np.tan(np.deg2rad(hfov / 2.0))
-    x = np.ones((h, w), np.float32)
-    y = np.broadcast_to(
-        np.linspace(-1.0, 1.0, w, dtype=np.float32), (h, w)) * w_len
-    z = -np.broadcast_to(
-        np.linspace(-1.0, 1.0, h, dtype=np.float32)[:, None], (h, w)) * h_len
-    xyz = np.stack([x, y, z], axis=-1)
-    xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
-    R1, R2 = camera_rotations_np(theta_deg, phi_deg)
-    return xyz @ R1.T @ R2.T
+    camera model as host_grids.map_pers_pix_to_equi_np (one source of
+    truth: _pixel_to_ray evaluated over the pixel grid)."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    px = np.stack([xx.ravel(), yy.ravel()], axis=1)
+    return _pixel_to_ray(px, fov_deg, theta_deg, phi_deg, h, w).reshape(
+        h, w, 3)
 
 
 def _pixel_to_ray(px: np.ndarray, fov_deg: float, theta_deg: float,
@@ -93,15 +86,27 @@ def pixel_to_dir(x: np.ndarray, y: np.ndarray, h: int, w: int) -> np.ndarray:
 
 
 # ----------------------------------------------------------- detection
+@functools.lru_cache(maxsize=1)
+def _lsd():
+    """One shared LSD instance, or None when OpenCV is unavailable or the
+    build lacks the detector (removed in some 4.x releases)."""
+    try:
+        import cv2
+
+        return cv2.createLineSegmentDetector()
+    except Exception:  # pragma: no cover - cv2 with LSD is in this image
+        return None
+
+
 def detect_view_lines(view: np.ndarray, fov_deg: float, theta_deg: float,
                       phi_deg: float, min_len_px: float = 12.0):
     """LSD segments of one perspective view -> (normals (N, 3),
-    weights (N,), end rays (N, 2, 3)). Returns empty arrays when OpenCV is
-    unavailable or nothing is detected."""
-    try:
-        import cv2
-    except ImportError:  # pragma: no cover - cv2 is in this image
+    weights (N,), end rays (N, 2, 3)). Returns empty arrays when OpenCV (or
+    its LSD) is unavailable or nothing is detected."""
+    lsd = _lsd()
+    if lsd is None:
         return (np.zeros((0, 3)), np.zeros((0,)), np.zeros((0, 2, 3)))
+    import cv2
 
     if view.ndim == 3:
         gray = cv2.cvtColor(view, cv2.COLOR_RGB2GRAY)
@@ -110,7 +115,7 @@ def detect_view_lines(view: np.ndarray, fov_deg: float, theta_deg: float,
     if gray.dtype != np.uint8:
         gray = np.clip(gray * 255.0 if gray.max() <= 1.5 else gray,
                        0, 255).astype(np.uint8)
-    lines = cv2.createLineSegmentDetector().detect(gray)[0]
+    lines = lsd.detect(gray)[0]
     if lines is None or len(lines) == 0:
         return (np.zeros((0, 3)), np.zeros((0,)), np.zeros((0, 2, 3)))
     lines = lines.reshape(-1, 4).astype(np.float64)
@@ -256,12 +261,16 @@ def find_main_directions(normals: np.ndarray, weights: np.ndarray,
             dirs.append(d)
         R = _nearest_rotation(np.stack(dirs))
 
-    # order: put the most-vertical direction last, keep right-handedness
+    # order: put the most-vertical direction last and keep a proper
+    # rotation: the row permutation can be odd and the per-row signs are
+    # arbitrary, so fix vertical-up first, then restore det=+1 by flipping
+    # one horizontal direction (horizontal sign is a free choice)
     vert = np.abs(R[:, 2]).argmax()
     order = [k for k in range(3) if k != vert] + [int(vert)]
     R = R[order]
     if R[2, 2] < 0:
         R[2] = -R[2]
+    if np.linalg.det(R) < 0:
         R[1] = -R[1]
     remap = {old: new for new, old in enumerate(order)}
     assign = np.array([remap.get(a, -1) for a in assign], np.int64)
@@ -269,15 +278,24 @@ def find_main_directions(normals: np.ndarray, weights: np.ndarray,
 
 
 # ------------------------------------------------------------- rotation
-def rotate_panorama(pano: np.ndarray, R: np.ndarray) -> np.ndarray:
-    """Resample an equirect image so that world direction ``R[k]`` maps to
-    canonical axis k (the role of the reference's rotatePanorama,
-    pano_lsd_align.py:124-170): output(p) = input(R.T @ p)."""
-    h, w = pano.shape[:2]
+def rotation_grid(h: int, w: int, R: np.ndarray) -> np.ndarray:
+    """(h, w, 2) source pixel coords implementing output(p) = input(R.T p)
+    on an equirect grid; build once and reuse across images/channels."""
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
     d_out = pixel_to_dir(xx, yy, h, w)  # (h, w, 3)
     d_in = d_out @ R  # rows of R are the recovered axes: p_in = R^T p_out
-    src = lonlat_to_pixel(d_in, h, w)
+    return lonlat_to_pixel(d_in, h, w)
+
+
+def rotate_panorama(pano: np.ndarray, R: np.ndarray,
+                    src: Optional[np.ndarray] = None) -> np.ndarray:
+    """Resample an equirect image so that world direction ``R[k]`` maps to
+    canonical axis k (the role of the reference's rotatePanorama,
+    pano_lsd_align.py:124-170). Pass a precomputed ``rotation_grid`` as
+    `src` to amortize the trig across multiple images."""
+    h, w = pano.shape[:2]
+    if src is None:
+        src = rotation_grid(h, w, R)
 
     from ..ops import host
 
@@ -302,15 +320,19 @@ def rotate_panorama(pano: np.ndarray, R: np.ndarray) -> np.ndarray:
 
 
 def paint_line_map(rays: np.ndarray, assign: np.ndarray, h: int, w: int,
-                   samples: int = 64) -> np.ndarray:
+                   samples: Optional[int] = None) -> np.ndarray:
     """(h, w, 3) map with each detected segment painted as a great-circle
     arc, one channel per vanishing direction (the aligned-line image of
-    the reference preprocess contract); unassigned segments are dropped."""
+    the reference preprocess contract); unassigned segments are dropped.
+    Sampling density scales with each arc's pixel extent (2 samples per
+    covered column) so lines render continuous at any width."""
     out = np.zeros((h, w, 3), np.float32)
-    t = np.linspace(0.0, 1.0, samples)
     for (r0, r1), k in zip(rays, assign):
         if k < 0:
             continue
+        arc = np.arccos(np.clip(float(r0 @ r1), -1.0, 1.0))
+        n = samples or max(8, int(np.ceil(arc / (2 * np.pi) * w * 2)) + 1)
+        t = np.linspace(0.0, 1.0, n)
         d = r0[None, :] * (1 - t)[:, None] + r1[None, :] * t[:, None]
         d /= np.linalg.norm(d, axis=1, keepdims=True)
         px = lonlat_to_pixel(d, h, w)
@@ -331,10 +353,11 @@ def pano_vp_align(pano: np.ndarray, view_size: int = 320,
     R, assign = find_main_directions(normals, weights, tol_deg=tol_deg,
                                      refine_iter=refine_iter)
     h, w = pano.shape[:2]
-    aligned = rotate_panorama(pano, R)
+    src = rotation_grid(h, w, R)
+    aligned = rotate_panorama(pano, R, src=src)
     line_map = paint_line_map(rays, assign, h, w)
     if rotate_lines:
-        line_map = rotate_panorama(line_map, R)
+        line_map = rotate_panorama(line_map, R, src=src)
     return {
         "vp": R,
         "R": R,

@@ -84,6 +84,26 @@ class TestFactorSampling:
         assert 0 < xmin <= xmax
         assert 0 < ymin <= ymax
 
+    def test_cor2xybound_matches_reference_formula(self):
+        """Golden check against the reference formula transcribed inline
+        (external/HorizonNet/dataset.py:188-207)."""
+        rng = np.random.default_rng(3)
+        cor = _square_room_corners()
+        cor[:, 1] += rng.normal(scale=5.0, size=len(cor))
+        corU, corB = cor[0::2], cor[1::2]
+        zU = -50
+        u = coorx2u(corU[:, 0])
+        vU = coory2v(corU[:, 1])
+        vB = coory2v(corB[:, 1])
+        x, y = uv2xy(u, vU, z=zU)
+        c = np.sqrt(x**2 + y**2)
+        zB = c * np.tan(vB)
+        S = 3 / abs(zB.mean() - zU)
+        dx = [abs(x.min() * S), abs(x.max() * S)]
+        dy = [abs(y.min() * S), abs(y.max() * S)]
+        expected = (min(dx), min(dy), max(dx), max(dy))
+        np.testing.assert_allclose(cor2xybound(cor), expected, rtol=1e-9)
+
     def test_sampled_factors_bounded(self):
         cor = _square_room_corners()
         rng = np.random.default_rng(0)

@@ -102,7 +102,26 @@ class TestSyntheticDirections:
                                           np.array(weights))
         assert _axis_match_error_deg(vp, np.eye(3)) < 1.0
         assert np.abs(vp[2, 2]) > 0.99  # vertical last
+        assert np.linalg.det(vp) > 0.5  # proper rotation, not a reflection
         assert (assign >= 0).mean() > 0.9
+
+    def test_never_returns_reflection(self):
+        """When the second-voted direction is the vertical one, the row
+        reorder is an odd permutation — the result must still have
+        det=+1 or rotate_panorama would mirror the output."""
+        rng = np.random.default_rng(7)
+        normals, weights = [], []
+        # x strongest, z second, y weakest
+        for axis, n_seg in zip(np.eye(3), (80, 20, 50)):
+            for _ in range(n_seg):
+                v = rng.normal(size=3)
+                n = np.cross(axis, v)
+                n /= np.linalg.norm(n)
+                normals.append(n)
+                weights.append(1.0)
+        vp, _ = find_main_directions(np.array(normals), np.array(weights))
+        assert np.linalg.det(vp) > 0.5
+        assert vp[2, 2] > 0.99
 
     def test_recovers_rotated_axes(self):
         R0 = _rot_z(25.0) @ _rot_y(12.0)
@@ -142,6 +161,7 @@ class TestPanoramaPipeline:
         rotated = rotate_panorama(pano, R0)
         res = pano_vp_align(rotated, view_size=160)
         assert res["n_lines"] > 60
+        assert np.linalg.det(res["vp"]) > 0.5
         assert _axis_match_error_deg(res["vp"], R0.T) < 2.0
         # vertical axis recovered upright (true vertical VP = R0 e_z)
         assert res["vp"][2] @ R0[:, 2] > np.cos(np.deg2rad(2.0))
