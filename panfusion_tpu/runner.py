@@ -84,6 +84,10 @@ def fit(
         controlnet_trainable if model.cfg.layout_cond else default_trainable
     )
     state, opt = create_train_state(model, params, train_cfg, predicate)
+    del params  # frozen f32 originals are donated away; drop the last ref
+    import gc
+
+    gc.collect()
     ckpt = CheckpointManager(os.path.join(logger.save_dir, "checkpoints"))
     if resume and ckpt.exists("last"):
         restored = ckpt.restore(state, "last")
