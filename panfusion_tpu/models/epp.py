@@ -189,6 +189,19 @@ def warp_attn_resolutions(
     return enc + mid + dec
 
 
+def _pack_masks(pm: jnp.ndarray, em: jnp.ndarray, e_hw, pers_hw):
+    """(b, m, E, P)/(b, m, P, E) per-view masks -> the (b, q, kv) layout
+    WarpAttn consumes: pers_mask (b, E, m*P), equi_mask (b, m*P, E).
+    The single place that encodes the view-major kv packing contract."""
+    b, m = pm.shape[:2]
+    E = e_hw[0] * e_hw[1]
+    P = pers_hw[0] * pers_hw[1]
+    return (
+        pm.transpose(0, 2, 1, 3).reshape(b, E, m * P),
+        em.reshape(b, m * P, E),
+    )
+
+
 def build_epp_sites(
     pers_res: int,
     equi_hw: Tuple[int, int],
@@ -200,7 +213,6 @@ def build_epp_sites(
 ) -> List[EPPSite]:
     """All sites for one camera set (single sample), deduplicated by
     resolution, packed in the (b, q, kv) layout WarpAttn consumes."""
-    m = theta.shape[0]
     unique: Dict[Tuple, Tuple] = {}
     sites = []
     for pers_hw, e_hw in warp_attn_resolutions(pers_res, equi_hw, n_levels):
@@ -208,10 +220,9 @@ def build_epp_sites(
         if key not in unique:
             pm, em = build_masks(pers_hw, e_hw, fov, theta, phi)
             pc, ec = build_coords(pers_hw, e_hw, fov, theta, phi)
-            E = e_hw[0] * e_hw[1]
-            P = pers_hw[0] * pers_hw[1]
-            pers_mask = pm.transpose(1, 0, 2).reshape(1, E, m * P)
-            equi_mask = em.reshape(1, m * P, E)
+            pers_mask, equi_mask = _pack_masks(
+                pm[None], em[None], e_hw, pers_hw
+            )
             unique[key] = (pers_mask, equi_mask, pc, ec)
         pm_, em_, pc_, ec_ = unique[key]
         sites.append(
@@ -248,11 +259,10 @@ def build_epp_sites_batched(
             pc, ec = jax.vmap(
                 lambda f, t, p: build_coords(pers_hw, e_hw, f, t, p)
             )(fov, theta, phi)  # (b, m, ph, pw, 2), (b, eh, ew, 2)
-            E = e_hw[0] * e_hw[1]
-            P = pers_hw[0] * pers_hw[1]
+            pers_mask, equi_mask = _pack_masks(pm, em, e_hw, pers_hw)
             unique[key] = EPPSite(
-                pers_mask=pm.transpose(0, 2, 1, 3).reshape(b, E, m * P),
-                equi_mask=em.reshape(b, m * P, E),
+                pers_mask=pers_mask,
+                equi_mask=equi_mask,
                 pers_coords=pc.reshape(b * m, *pers_hw, 2),
                 equi_coords=ec[0],
             )
@@ -276,6 +286,12 @@ def build_epp_phase_cache(
     (reference PanFusion.py:146-162); with rot_diff=90 the camera set cycles
     through 4 phases, so 4 cached variants cover all 50 steps.
     """
+    if rot_diff <= 0 or abs(360.0 % rot_diff) > 1e-9:
+        # a non-divisor would silently desynchronize the cached camera
+        # phases from the latent's accumulated roll after one cycle
+        raise ValueError(
+            f"rot_diff={rot_diff} must be a positive divisor of 360"
+        )
     n_phases = int(round(360.0 / rot_diff)) if rot_diff % 360 != 0 else 1
     phases = []
     for k in range(n_phases):

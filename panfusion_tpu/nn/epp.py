@@ -13,6 +13,7 @@ models/pano/utils.py:10-106 hot-path recompute, see SURVEY.md §3.1).
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax.numpy as jnp
@@ -37,12 +38,27 @@ class EPPSite(NamedTuple):
     equi_coords: jnp.ndarray
 
 
+@functools.lru_cache(maxsize=None)
 def spherical_pe_freq_bands(n_freqs: int) -> np.ndarray:
     """Frequency bands of the reference SphericalPE
     (models/modules/transformer.py:165-189): base 2 up to 80 freqs, else
-    5000^(1/(N/2.5)); logscale."""
+    5000^(1/(N/2.5)); logscale.
+
+    Parity must be bitwise in f32: for n_freqs > 80 the high bands reach
+    ~3.4e6, where even a 1-ulp band difference shifts the sin/cos argument
+    by ~0.3 rad and the PE features a converted reference checkpoint was
+    trained on become wrong. torch's f32 powf differs from numpy's at the
+    ulp level, so the bands are computed with torch when importable (the
+    conversion/serving images ship it) and f32 numpy otherwise."""
     base = 2.0 if n_freqs <= 80 else 5000.0 ** (1.0 / (n_freqs / 2.5))
-    return base ** np.linspace(0.0, n_freqs - 1, n_freqs)
+    try:
+        import torch
+
+        return (base ** torch.linspace(0, n_freqs - 1, n_freqs)).numpy()
+    except ImportError:  # pragma: no cover - torch is in this image
+        return np.float32(base) ** np.linspace(
+            0.0, n_freqs - 1, n_freqs, dtype=np.float32
+        )
 
 
 def spherical_pe(coords: jnp.ndarray, n_freqs: int) -> jnp.ndarray:

@@ -114,7 +114,23 @@ def bias_attention(q, k, v, bias=None, force_xla: bool = False):
                 block_sizes=block,
             )
             return jnp.swapaxes(out, 1, 2).astype(q.dtype)
-        except Exception:
-            pass  # tracing context / kernel constraint: fall through to XLA
+        except (ImportError, AttributeError, TypeError) as exc:
+            # jax version drift (moved module / renamed kwarg or field):
+            # fall through to XLA, but never silently — the XLA path
+            # materializes the score tensor in HBM and is ~10x slower at
+            # full size, so a quiet fallback would look like a perf bug
+            _warn_flash_fallback(repr(exc))
 
     return jax.nn.dot_product_attention(q, k, v, bias=bias4)
+
+
+@functools.lru_cache(maxsize=8)
+def _warn_flash_fallback(reason: str):
+    import warnings
+
+    warnings.warn(
+        "Pallas flash attention unavailable; falling back to XLA "
+        f"attention (expect large slowdown at full size): {reason}",
+        RuntimeWarning,
+        stacklevel=3,
+    )

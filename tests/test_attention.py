@@ -37,8 +37,9 @@ def test_shape_gate():
 
 
 @pytest.mark.skipif(
-    True, reason="TPU-only parity (run scripts/check_flash_parity manually); "
-    "verified on v5e: max err 2.1e-3 vs XLA at (1,256,384,2,32)"
+    True, reason="TPU-only parity (run scripts/check_flash_parity.py "
+    "manually); verified on v5e: worst max err 2.6e-3 vs XLA across the "
+    "full-size EPP sites, pano self-attention, and the tiny biased shape"
 )
 def test_flash_parity_on_tpu():
     pass

@@ -91,6 +91,33 @@ def test_spherical_pe_matches_reference_semantics():
     np.testing.assert_allclose(pe[0], expected, atol=1e-6)
 
 
+def test_spherical_pe_bands_bitwise_torch_parity():
+    """For n_freqs > 80 the bands reach ~3.4e6 where a 1-ulp difference
+    shifts the sin argument by ~0.3 rad — converted reference checkpoints
+    need the exact f32 values torch's `base ** linspace` produces
+    (transformer.py:175-181)."""
+    torch = pytest.importorskip("torch")
+    from panfusion_tpu.nn.epp import spherical_pe_freq_bands
+
+    for n in (16, 80, 160, 320):
+        base = 2 if n <= 80 else 5000 ** (1 / (n / 2.5))
+        ref = (base ** torch.linspace(0, n - 1, n)).numpy()
+        ours = np.asarray(spherical_pe_freq_bands(n))
+        assert (ours == ref).all(), f"n_freqs={n} bands diverge from torch"
+
+
+def test_phase_cache_rejects_bad_rot_diff():
+    from panfusion_tpu.models.epp import build_epp_phase_cache
+
+    theta = np.array([0.0, 180.0], np.float32)
+    phi = np.zeros(2, np.float32)
+    fov = np.full(2, 90.0, np.float32)
+    for bad in (80.0, -90.0, 0.0):
+        with pytest.raises(ValueError):
+            build_epp_phase_cache(8, (8, 16), fov, theta, phi, rot_diff=bad,
+                                  n_levels=2)
+
+
 # ------------------------------------------------------------- UNet
 def test_unet_forward_shapes():
     unet = UNet2DCondition(**TINY_UNET)
