@@ -106,9 +106,16 @@ class DualUNet(nn.Module):
         use_pers = self.use_pers_branch and pers_latents is not None
 
         pano_temb = self.pano_unet.time_embed(timesteps)
-        pano_ctx_ = pano_ctx
 
         if use_pers:
+            n_sites = 2 * (len(self.block_out_channels) - 1) + 1
+            if sites is None or len(sites) != n_sites:
+                raise ValueError(
+                    f"the perspective branch needs {n_sites} EPP sites "
+                    f"(got {None if sites is None else len(sites)}); build "
+                    "them with models.epp.build_epp_sites(n_levels="
+                    f"{len(self.block_out_channels)})"
+                )
             m = pers_latents.shape[1]
             x = pers_latents.reshape(b * m, *pers_latents.shape[2:])
             ctx = pers_ctx.reshape(b * m, *pers_ctx.shape[2:])
@@ -125,24 +132,20 @@ class DualUNet(nn.Module):
             pano = self.pano_unet.conv_in(pano)
         pano_skips = [pano]
 
-        # encoder
+        # encoder: the pers branch runs whole SD2 down blocks (one source
+        # of block semantics, nn/unet.py DownBlock); only the pano branch
+        # needs the custom per-resnet circular-pad traversal
         for i, pano_block in enumerate(self.pano_unet.down_blocks):
+            if use_pers:
+                x, blk_skips = self.unet.down_blocks[i](x, temb, ctx)
+                skips.extend(blk_skips)
             n_res = len(pano_block.resnets)
             for j in range(n_res):
-                if use_pers:
-                    blk = self.unet.down_blocks[i]
-                    x = blk.resnets[j](x, temb)
-                    if blk.attentions is not None:
-                        x = blk.attentions[j](x, ctx)
-                    skips.append(x)
                 pano = self._pano_resnet(pano_block.resnets[j], pano, pano_temb)
                 if pano_block.attentions is not None:
-                    pano = pano_block.attentions[j](pano, pano_ctx_)
+                    pano = pano_block.attentions[j](pano, pano_ctx)
                 pano_skips.append(pano)
             if pano_block.downsamplers is not None:
-                if use_pers:
-                    x = self.unet.down_blocks[i].downsamplers[0](x)
-                    skips.append(x)
                 if self.pano_pad:
                     pano = unpad_w(pano_block.downsamplers[0](pad_w(pano, 2)), 1)
                 else:
@@ -151,21 +154,29 @@ class DualUNet(nn.Module):
                 if use_pers:
                     x, pano = self.cp_blocks_encoder[i](x, pano, next(site_it))
 
-        # ControlNet encoder residuals
+        # ControlNet encoder residuals (counts must match or the up-path
+        # skip stack silently corrupts)
         if use_pers and pers_residuals is not None:
+            if len(pers_residuals) != len(skips):
+                raise ValueError(
+                    f"{len(pers_residuals)} pers residuals for "
+                    f"{len(skips)} skips"
+                )
             skips = [s + r for s, r in zip(skips, pers_residuals)]
         if pano_residuals is not None:
+            if len(pano_residuals) != len(pano_skips):
+                raise ValueError(
+                    f"{len(pano_residuals)} pano residuals for "
+                    f"{len(pano_skips)} skips"
+                )
             pano_skips = [s + r for s, r in zip(pano_skips, pano_residuals)]
 
         # mid
         if use_pers:
-            mid = self.unet.mid_block
-            x = mid.resnets[0](x, temb)
-            x = mid.attentions[0](x, ctx)
-            x = mid.resnets[1](x, temb)
+            x = self.unet.mid_block(x, temb, ctx)
         pano_mid = self.pano_unet.mid_block
         pano = self._pano_resnet(pano_mid.resnets[0], pano, pano_temb)
-        pano = pano_mid.attentions[0](pano, pano_ctx_)
+        pano = pano_mid.attentions[0](pano, pano_ctx)
         pano = self._pano_resnet(pano_mid.resnets[1], pano, pano_temb)
 
         if use_pers and pers_mid_residual is not None:
@@ -189,7 +200,7 @@ class DualUNet(nn.Module):
                 pano = jnp.concatenate([pano, pano_skips.pop()], axis=-1)
                 pano = self._pano_resnet(pano_block.resnets[j], pano, pano_temb)
                 if pano_block.attentions is not None:
-                    pano = pano_block.attentions[j](pano, pano_ctx_)
+                    pano = pano_block.attentions[j](pano, pano_ctx)
             if pano_block.upsamplers is not None:
                 if use_pers:
                     x, pano = self.cp_blocks_decoder[i](x, pano, next(site_it))

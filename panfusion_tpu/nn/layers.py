@@ -261,15 +261,20 @@ class SpatialTransformer(nn.Module):
 
 
 class ResnetBlock(nn.Module):
-    """SD resnet block: GN-silu-conv, +time, GN-silu-conv, skip 1x1."""
+    """SD resnet block: GN-silu-conv, +time, GN-silu-conv, skip 1x1.
+
+    epsilon: diffusers uses 1e-5 in the UNet (resnet_eps default) but 1e-6
+    in the AutoencoderKL resnets — VAE callers must pass 1e-6 or converted
+    weights drift."""
 
     out_channels: int
+    epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, temb=None):
         residual = x
-        h = nn.GroupNorm(num_groups=_num_groups(x.shape[-1]), epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        h = nn.GroupNorm(num_groups=_num_groups(x.shape[-1]), epsilon=self.epsilon, dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         if temb is not None:
@@ -277,7 +282,7 @@ class ResnetBlock(nn.Module):
                 nn.silu(temb)
             )
             h = h + t[:, None, None, :]
-        h = nn.GroupNorm(num_groups=_num_groups(self.out_channels), epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
+        h = nn.GroupNorm(num_groups=_num_groups(self.out_channels), epsilon=self.epsilon, dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if residual.shape[-1] != self.out_channels:
@@ -288,16 +293,23 @@ class ResnetBlock(nn.Module):
 
 
 class Downsample(nn.Module):
-    """3x3 stride-2 conv, zero pad 1 (diffusers Downsample2D)."""
+    """3x3 stride-2 conv (diffusers Downsample2D).
+
+    The UNet uses symmetric zero pad 1; the VAE encoder uses diffusers'
+    asymmetric F.pad(x, (0, 1, 0, 1)) (downsample_padding=0) — with pad 1
+    on both sides a converted checkpoint would sample a one-pixel-shifted
+    grid (columns 0,2,4,.. instead of 1,3,5,..)."""
 
     channels: int
+    asymmetric_pad: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        pad = ((0, 1), (0, 1)) if self.asymmetric_pad else 1
         return nn.Conv(
-            self.channels, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype,
-            name="conv",
+            self.channels, (3, 3), strides=(2, 2), padding=pad,
+            dtype=self.dtype, name="conv",
         )(x)
 
 

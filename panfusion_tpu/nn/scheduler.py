@@ -32,6 +32,12 @@ def make_ddim_schedule(
     beta_start: float = 0.00085,
     beta_end: float = 0.012,
 ) -> DDIMSchedule:
+    if not 0 < num_inference_steps <= num_train_timesteps:
+        # step_ratio would floor to 0 and every step would run at t=1
+        raise ValueError(
+            f"num_inference_steps={num_inference_steps} must be in "
+            f"[1, {num_train_timesteps}] (diffusers raises here too)"
+        )
     betas = (
         np.linspace(beta_start**0.5, beta_end**0.5, num_train_timesteps, dtype=np.float64)
         ** 2

@@ -254,6 +254,12 @@ class UNet2DCondition(nn.Module):
             skips.extend(s)
 
         if down_block_additional_residuals is not None:
+            if len(down_block_additional_residuals) != len(skips):
+                raise ValueError(
+                    f"{len(down_block_additional_residuals)} down-block "
+                    f"residuals for {len(skips)} skips (diffusers includes "
+                    "the conv_in activation as the first residual)"
+                )
             skips = [s + r for s, r in zip(skips, down_block_additional_residuals)]
 
         x = self.mid_block(x, temb, ctx)

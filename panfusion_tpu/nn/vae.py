@@ -57,12 +57,13 @@ class Encoder(nn.Module):
         x = nn.Conv(ch[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
         for i, c in enumerate(ch):
             for j in range(self.layers_per_block):
-                x = ResnetBlock(c, dtype=self.dtype, name=f"down_{i}_res_{j}")(x)
+                x = ResnetBlock(c, epsilon=1e-6, dtype=self.dtype, name=f"down_{i}_res_{j}")(x)
             if i < len(ch) - 1:
-                x = Downsample(c, dtype=self.dtype, name=f"down_{i}_downsample")(x)
-        x = ResnetBlock(ch[-1], dtype=self.dtype, name="mid_res_0")(x)
+                # diffusers VAE: downsample_padding=0 + F.pad (0,1,0,1)
+                x = Downsample(c, asymmetric_pad=True, dtype=self.dtype, name=f"down_{i}_downsample")(x)
+        x = ResnetBlock(ch[-1], epsilon=1e-6, dtype=self.dtype, name="mid_res_0")(x)
         x = VAEAttention(ch[-1], dtype=self.dtype, name="mid_attn")(x)
-        x = ResnetBlock(ch[-1], dtype=self.dtype, name="mid_res_1")(x)
+        x = ResnetBlock(ch[-1], epsilon=1e-6, dtype=self.dtype, name="mid_res_1")(x)
         x = nn.GroupNorm(num_groups=_num_groups(x.shape[-1]), epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(x)
         x = nn.silu(x)
         x = nn.Conv(2 * self.latent_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
@@ -82,12 +83,12 @@ class Decoder(nn.Module):
         ch = list(reversed(self.block_out_channels))  # (512, 512, 256, 128)
         z = nn.Conv(self.latent_channels, (1, 1), dtype=self.dtype, name="post_quant_conv")(z)
         x = nn.Conv(ch[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
-        x = ResnetBlock(ch[0], dtype=self.dtype, name="mid_res_0")(x)
+        x = ResnetBlock(ch[0], epsilon=1e-6, dtype=self.dtype, name="mid_res_0")(x)
         x = VAEAttention(ch[0], dtype=self.dtype, name="mid_attn")(x)
-        x = ResnetBlock(ch[0], dtype=self.dtype, name="mid_res_1")(x)
+        x = ResnetBlock(ch[0], epsilon=1e-6, dtype=self.dtype, name="mid_res_1")(x)
         for i, c in enumerate(ch):
             for j in range(self.layers_per_block + 1):
-                x = ResnetBlock(c, dtype=self.dtype, name=f"up_{i}_res_{j}")(x)
+                x = ResnetBlock(c, epsilon=1e-6, dtype=self.dtype, name=f"up_{i}_res_{j}")(x)
             if i < len(ch) - 1:
                 x = Upsample(c, dtype=self.dtype, name=f"up_{i}_upsample")(x)
         x = nn.GroupNorm(num_groups=_num_groups(x.shape[-1]), epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(x)

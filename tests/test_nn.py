@@ -118,6 +118,41 @@ def test_phase_cache_rejects_bad_rot_diff():
                                   n_levels=2)
 
 
+def test_vae_downsample_matches_diffusers_grid():
+    """The VAE encoder downsample must use diffusers' asymmetric
+    F.pad(x, (0,1,0,1)) + pad-0 stride-2 conv: symmetric pad 1 samples a
+    one-pixel-shifted grid and desyncs converted checkpoints."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from panfusion_tpu.nn.layers import Downsample
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 8, 8, 4)).astype(np.float32)
+    w = rng.normal(size=(3, 3, 4, 4)).astype(np.float32) * 0.1
+    b = rng.normal(size=(4,)).astype(np.float32)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    wt = torch.from_numpy(w.transpose(3, 2, 0, 1))
+    ref = (
+        F.conv2d(F.pad(xt, (0, 1, 0, 1)), wt, torch.from_numpy(b), stride=2)
+        .numpy().transpose(0, 2, 3, 1)
+    )
+    mod = Downsample(4, asymmetric_pad=True)
+    params = {"params": {"conv": {"kernel": jnp.asarray(w),
+                                  "bias": jnp.asarray(b)}}}
+    ours = np.asarray(mod.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_ddim_schedule_rejects_too_many_steps():
+    from panfusion_tpu.nn.scheduler import make_ddim_schedule
+
+    with pytest.raises(ValueError):
+        make_ddim_schedule(1001)
+    with pytest.raises(ValueError):
+        make_ddim_schedule(0)
+
+
 # ------------------------------------------------------------- UNet
 def test_unet_forward_shapes():
     unet = UNet2DCondition(**TINY_UNET)
