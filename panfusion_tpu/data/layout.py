@@ -106,7 +106,7 @@ class Layout:
         layout = cls.from_layout_coords(
             layout_pos / np.asarray(image_size, np.float64), camera_height
         )
-        layout._cache["pos"] = layout_pos
+        layout._cache["pos"] = (layout_pos, tuple(image_size))
         return layout
 
     # ------------------------------------------------------------ convert
@@ -124,7 +124,15 @@ class Layout:
 
     def to_layout_pos(self, image_size) -> np.ndarray:
         if "pos" in self._cache:
-            return self._cache["pos"]
+            cached_pos, cached_size = self._cache["pos"]
+            if tuple(cached_size) == tuple(image_size):
+                return cached_pos
+            # built at another resolution: rescale instead of returning
+            # wrong-scale pixels
+            return cached_pos * (
+                np.asarray(image_size, np.float64)
+                / np.asarray(cached_size, np.float64)
+            )
         return self.to_layout_coords() * np.asarray(image_size, np.float64)
 
     # ------------------------------------------------------------ targets
@@ -135,7 +143,7 @@ class Layout:
         W, H = int(image_size[0]), int(image_size[1])
         cor = self.to_layout_pos(image_size).reshape(-1, 2)
 
-        occlusion = _find_occlusion(cor[::2].copy()).repeat(2)
+        occlusion = _find_occlusion(cor[::2].copy(), W, H).repeat(2)
         bon = _corners_to_boundaries(cor, H, W)
 
         corx = cor[~occlusion, 0]
@@ -251,7 +259,8 @@ class Layout:
         edge = np.zeros((*size, 3))
         # vertical wall-wall edges: plane id changes along width
         wchange = plane != np.roll(plane, 1, axis=1)
-        wall_px = plane < plane.max() - 1
+        n_walls = len(self._walls()[0])
+        wall_px = plane < n_walls  # ids >= n_walls are ceiling/floor
         vert = wchange & (wall_px | np.roll(wall_px, 1, axis=1))
         # horizontal wall-ceiling / wall-floor edges: change along height
         hchange = plane != np.roll(plane, 1, axis=0)
@@ -385,12 +394,14 @@ def _segments_intersect(a0, a1, b0, b1) -> bool:
     return ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0))
 
 
-def _find_occlusion(coor: np.ndarray) -> np.ndarray:
+def _find_occlusion(coor: np.ndarray, w: int = 1024,
+                    h: int = 512) -> np.ndarray:
     """Corner visibility: does the camera->corner ray cross the polyline of
     the other corners (reference HorizonNet dataset find_occlusion, shapely
-    raycast re-done with a plain segment-intersection sweep)."""
-    u = ((coor[:, 0] + 0.5) / 1024 - 0.5) * 2 * np.pi
-    v = ((coor[:, 1] + 0.5) / 512 - 0.5) * np.pi
+    raycast re-done with a plain segment-intersection sweep). coor is in
+    (w, h)-scale pixels."""
+    u = ((coor[:, 0] + 0.5) / w - 0.5) * 2 * np.pi
+    v = ((coor[:, 1] + 0.5) / h - 0.5) * np.pi
     c = -50 / np.tan(v)
     x, y = c * np.cos(u), c * np.sin(u)
     n = len(x)

@@ -132,16 +132,30 @@ class Matterport3D(PanoDataModule):
             kept = []
             for line in lines:
                 scene_id, view_id = line.split(" ")
-                lp = os.path.join(
-                    self.hparams.data_dir, scene_id, "layout", view_id,
-                    f"layout_{self.hparams.layout_cond_type}.png",
-                )
+                if self.hparams.layout_cond_type:
+                    lp = os.path.join(
+                        self.hparams.data_dir, scene_id, "layout", view_id,
+                        f"layout_{self.hparams.layout_cond_type}.png",
+                    )
+                else:
+                    # horizon/manhattan-layout runs without a conditioning
+                    # map: the annotation json is the requirement
+                    lp = os.path.join(
+                        self.hparams.layout_anno_dir, "label_data",
+                        f"{scene_id}_{view_id}_label.json",
+                    )
                 pp = os.path.join(
                     self.hparams.data_dir, scene_id,
                     "matterport_aligned_images", f"{view_id}.png",
                 )
                 if os.path.exists(lp) and os.path.exists(pp):
                     kept.append(f"{scene_id}_{view_id}")
+            if not kept:
+                # do not persist a poisoned empty list (the exists() guard
+                # above would keep it forever)
+                print(f"WARNING: no valid {split} samples found; "
+                      f"not writing {dst}")
+                continue
             print(f"Found {len(kept)}/{len(lines)} valid samples in {split}.")
             with open(dst, "w") as f:
                 f.write("\n".join(kept))

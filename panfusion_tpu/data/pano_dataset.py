@@ -29,7 +29,7 @@ from ..geometry.sampling import (
     icosahedron_sample_camera,
     random_sample_camera,
 )
-from ..geometry.rotations import get_K_R
+from ..geometry.host_grids import get_K_R_np
 
 
 @dataclass
@@ -80,14 +80,18 @@ class PanoDataset:
         if not config.gt_as_result and self.result_dir is not None:
             results = set(self.scan_results(self.result_dir))
             assert results, f"No results found in {self.result_dir}"
-            keyed = {(d.get("scene_id"), d.get("view_id")): d for d in self.data}
-            kept = sorted(k for k in keyed if k in results)
-            if len(kept) != len(self.data):
+            # filter (keeping repeat_predict-expanded duplicates and load
+            # order) instead of dict-collapsing on (scene, view) — the
+            # reference crashes here outright (SURVEY.md §2.3 quirk)
+            keys = [(d.get("scene_id"), d.get("view_id")) for d in self.data]
+            kept = [d for d, k in zip(self.data, keys) if k in results]
+            n_missing = len({k for k in keys if k not in results})
+            if n_missing:
                 print(
-                    f"WARNING: {len(self.data) - len(kept)} views missing in "
+                    f"WARNING: {n_missing} views missing in "
                     f"results folder {self.result_dir} for {self.mode} set."
                 )
-            self.data = [keyed[k] for k in kept]
+            self.data = kept
 
     # -- subclass hooks -------------------------------------------------
     def load_split(self, mode) -> List[Dict]:
@@ -143,9 +147,13 @@ class PanoDataset:
         theta, phi = self._sample_cameras(data)
         Ks, Rs = [], []
         for t, p in zip(theta, phi):
-            K, R = get_K_R(cfg.fov, t, p, cfg.pers_resolution, cfg.pers_resolution)
-            Ks.append(np.asarray(K))
-            Rs.append(np.asarray(R))
+            # numpy twin of rotations.get_K_R: keep the input pipeline off
+            # the device (no per-item jax dispatches in loader threads)
+            K, R = get_K_R_np(
+                cfg.fov, t, p, cfg.pers_resolution, cfg.pers_resolution
+            )
+            Ks.append(K)
+            Rs.append(R)
         cameras = {
             "height": np.full_like(theta, cfg.pers_resolution, dtype=int),
             "width": np.full_like(theta, cfg.pers_resolution, dtype=int),

@@ -29,6 +29,26 @@ def rodrigues_np(rvec: np.ndarray) -> np.ndarray:
     ).astype(np.float32)
 
 
+def get_K_R_np(fov_deg: float, theta_deg: float, phi_deg: float,
+               height: int, width: int):
+    """Numpy twin of geometry.rotations.get_K_R (same camera-frame
+    convention: yaw about +y, pitch about the rotated +x). The dataset's
+    per-item per-view K/R build runs in DataLoader worker threads — going
+    through jax there costs ~2m device dispatches per sample and contends
+    with TPU compute."""
+    theta = np.deg2rad(np.float32(theta_deg))
+    phi = np.deg2rad(np.float32(phi_deg))
+    f = 0.5 * width / np.tan(0.5 * np.deg2rad(np.float32(fov_deg)))
+    K = np.array(
+        [[f, 0.0, (width - 1) / 2.0],
+         [0.0, f, (height - 1) / 2.0],
+         [0.0, 0.0, 1.0]], np.float32,
+    )
+    R1 = rodrigues_np(np.array([0, 1, 0], np.float32) * theta)
+    R2 = rodrigues_np((R1 @ np.array([1, 0, 0], np.float32)) * phi)
+    return K, (R2 @ R1).astype(np.float32)
+
+
 def camera_rotations_np(theta_deg: float, phi_deg: float):
     theta = np.deg2rad(np.float32(theta_deg))
     phi = np.deg2rad(np.float32(phi_deg))

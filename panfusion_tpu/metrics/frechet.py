@@ -12,15 +12,28 @@ from __future__ import annotations
 import numpy as np
 
 
-def frechet_distance(mu1, cov1, mu2, cov2) -> float:
+def frechet_distance(mu1, cov1, mu2, cov2, eps: float = 1e-6) -> float:
     """d^2 = |mu1-mu2|^2 + tr(c1 + c2 - 2 sqrtm(c1 c2)) (host float64,
-    torchmetrics `_compute_fid` contract)."""
+    torchmetrics `_compute_fid` contract).
+
+    Near-singular covariances (fewer samples than features — e.g. a ~1.2k
+    pano test set against 2048-dim Inception features) can make sqrtm
+    return non-finite entries; like pytorch-fid, retry with an eps*I
+    offset on the diagonal instead of returning NaN for an hours-long
+    eval run."""
     import scipy.linalg
 
     diff = mu1 - mu2
     covmean, _ = scipy.linalg.sqrtm(cov1 @ cov2, disp=False)
     if np.iscomplexobj(covmean):
         covmean = covmean.real
+    if not np.isfinite(covmean).all():
+        offset = np.eye(cov1.shape[0]) * eps
+        covmean, _ = scipy.linalg.sqrtm(
+            (cov1 + offset) @ (cov2 + offset), disp=False
+        )
+        if np.iscomplexobj(covmean):
+            covmean = covmean.real
     return float(diff @ diff + np.trace(cov1 + cov2 - 2.0 * covmean))
 
 
@@ -75,6 +88,11 @@ class StreamingFrechet:
         self._n["real"] = int(arrs[2])
         self._sum["fake"], self._cov["fake"] = np.asarray(arrs[3]), np.asarray(arrs[4])
         self._n["fake"] = int(arrs[5])
+        # a psum-reduced state with any samples counts as updated (same
+        # contract as merge_state)
+        self.update_called = self.update_called or (
+            self._n["real"] + self._n["fake"] > 0
+        )
 
     def moments(self, k: str):
         n = self._n[k]

@@ -130,6 +130,7 @@ class FrechetInceptionDistance:
 
     def merge_state(self, other):
         self._frechet.merge_state(other._frechet)
+        self.update_called = self.update_called or other.update_called
 
     def compute(self) -> float:
         return self._frechet.compute()
@@ -159,8 +160,12 @@ class InceptionScore:
 
     def compute(self, splits: int = 10):
         """(mean, std) over `splits` chunks (torchmetrics contract — the
-        reference unpacks both, EvalPanoGen.py:181-182)."""
+        reference unpacks both, EvalPanoGen.py:181-182). Features are
+        permuted before chunking like torchmetrics' randperm (fixed seed
+        for reproducibility): dataset order is scene-correlated and would
+        bias the per-chunk marginals."""
         p = np.concatenate(self._probs, axis=0)
+        p = p[np.random.default_rng(42).permutation(len(p))]
         p = np.clip(p, 1e-16, 1.0)
         scores = []
         for chunk in np.array_split(p, splits):
@@ -173,9 +178,10 @@ class InceptionScore:
 
 
 class ClipScore:
-    """CLIP-Score: mean over samples of 100 * max(cos(img_emb, txt_emb), 0)
-    (torchmetrics CLIPScore contract; reference EvalPanoGen.py:85-169 feeds
-    (images, prompts) pairs)."""
+    """CLIP-Score: 100 * max(mean cos(img_emb, txt_emb), 0) — torchmetrics
+    CLIPScore accumulates the raw per-sample similarities and clamps only
+    the final mean (reference EvalPanoGen.py:85-169 feeds (images, prompts)
+    pairs)."""
 
     higher_is_better = True
 
@@ -201,7 +207,7 @@ class ClipScore:
         txt_emb = np.asarray(self.text_embed_fn(list(prompts)))
         img_emb = img_emb / np.linalg.norm(img_emb, axis=-1, keepdims=True)
         txt_emb = txt_emb / np.linalg.norm(txt_emb, axis=-1, keepdims=True)
-        sims = np.maximum((img_emb * txt_emb).sum(axis=-1), 0.0) * 100.0
+        sims = (img_emb * txt_emb).sum(axis=-1) * 100.0
         self._score_sum += float(sims.sum())
         self._n += len(sims)
         self.update_called = True
@@ -212,7 +218,7 @@ class ClipScore:
         self.update_called = self.update_called or other.update_called
 
     def compute(self) -> float:
-        return self._score_sum / max(self._n, 1)
+        return max(self._score_sum / max(self._n, 1), 0.0)
 
 
 class MeanMetric:

@@ -71,6 +71,18 @@ def test_get_K_R_matches_reference_construction():
     np.testing.assert_allclose(np.asarray(Ro), R2 @ R1, atol=1e-3)
 
 
+def test_get_K_R_np_matches_jnp_twin():
+    """The host input pipeline uses the numpy twin (no jax dispatches in
+    loader threads); it must match the jnp builder."""
+    from panfusion_tpu.geometry.host_grids import get_K_R_np
+
+    for fov, theta, phi in [(90.0, 33.0, -21.0), (60.0, 275.0, 48.0)]:
+        Kj, Rj = get_K_R(fov, theta, phi, 256, 256)
+        Kn, Rn = get_K_R_np(fov, theta, phi, 256, 256)
+        np.testing.assert_allclose(Kn, np.asarray(Kj), atol=1e-4)
+        np.testing.assert_allclose(Rn, np.asarray(Rj), atol=1e-5)
+
+
 # ---------------------------------------------------------------- ray maps
 def _ref_map_pers_coords_to_equi(wfov, theta, phi, h, w):
     """Independent numpy oracle of e2p.py:9-36 semantics."""

@@ -49,6 +49,21 @@ class TestLayout:
         assert np.isclose(hn["cor"].max(), 1.0)
         assert (hn["cor"] > 0.99).sum() >= 4
 
+    def test_horizonnet_targets_small_size(self):
+        """Occlusion detection must use the actual image size: a convex
+        room has no occluded corners at ANY resolution (the raycast was
+        hardcoded to 1024x512 and mislabeled corners at 128x64)."""
+        big = square_room().to_horizonnet((1024, 512))
+        small = square_room().to_horizonnet((128, 64))
+        assert small["bon"].shape == (2, 128)
+        # same corner count survives occlusion pruning at both sizes
+        assert np.isclose(small["cor"].max(), 1.0)
+        assert (small["cor"] > 0.99).sum() >= 4
+        # boundaries agree with the downsampled big-size targets
+        np.testing.assert_allclose(
+            small["bon"][:, ::1], big["bon"][:, ::8], atol=0.05
+        )
+
     def test_raycast_depth(self):
         lay = square_room(half=2.0)
         depth, plane = lay.raycast((128, 256))
