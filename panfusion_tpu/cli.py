@@ -118,6 +118,10 @@ def build_model(name: str, overrides: Dict[str, str], data_hparams=None):
         from .models.eval_pano_gen import EvalPanoGen, EvalConfig
 
         cfg = EvalConfig()
+        if data_hparams is not None:
+            # reference main.py:46-52 copies the data pano_height into the
+            # model args — FAED's feature dim is pano_height*4
+            cfg.pano_height = data_hparams.pano_height
         apply_overrides(cfg, {**_env_overrides("model"), **overrides}, "model")
         return EvalPanoGen(cfg)
     raise SystemExit(f"unknown model {name!r}")
@@ -160,6 +164,13 @@ def main(argv=None):
     if args.model == "EvalPanoGen":
         dm.hparams.result_dir = os.path.join("logs", run_id, "test")
         dm.hparams.batch_size = 1
+
+    # cam_sampler model->data link (reference main.py:55
+    # link_arguments("model.init_args.cam_sampler", "data...")): MvDiffusion
+    # trains on the horizon-8 ring — its CPAttn attends to +-1 ring
+    # neighbors, which the icosahedron default would break
+    if args.model == "MvDiffusion" and "data.cam_sampler" not in overrides:
+        dm.hparams.cam_sampler = "horizon"
 
     model = build_model(args.model, overrides, dm.hparams)
 

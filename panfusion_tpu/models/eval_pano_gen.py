@@ -224,15 +224,26 @@ class EvalPanoGen:
             ] if len(pers_prompt) != b * 8 else pers_prompt
             M["mv_CS"].update(mv_crops, mv_prompts)
 
-        # per-view saved images — EvalPanoGen.py:161-169
+        # per-view saved images — EvalPanoGen.py:161-169. The reference
+        # crops GT at the horizon-8 cameras and silently skips unless
+        # exactly 8 views were saved — which drops pers_* for its own
+        # 20-view PanFusion results; here the GT crops use the batch's
+        # actual cameras so any saved view count evaluates (improvement,
+        # noted in PARITY.md).
         if "images_pred" in batch:
             images_pred = _to_uint8(
                 batch["images_pred"].reshape(-1, *batch["images_pred"].shape[2:])
             )
-            if len(images_pred) == len(theta_h) * pano_gt.shape[0]:
+            cams = batch.get("cameras")
+            if cams is not None and "theta" in cams:
+                theta_p = np.asarray(cams["theta"], np.float32)[0]
+                phi_p = np.asarray(cams["phi"], np.float32)[0]
+            else:
+                theta_p, phi_p = theta_h, phi_h
+            if len(images_pred) == len(theta_p) * pano_gt.shape[0]:
                 hw = images_pred.shape[1:3]
                 M["pers_FID"].update(
-                    _crops_uint8(pano_gt, theta_h, phi_h, hw), real=True
+                    _crops_uint8(pano_gt, theta_p, phi_p, hw), real=True
                 )
                 M["pers_FID"].update(images_pred, real=False)
                 M["pers_IS"].update(images_pred)
@@ -261,6 +272,16 @@ class EvalPanoGen:
             out["3D_IoU"], out["2D_IoU"] = self._layout.compute()
         if logger is not None:
             logger.log_summary(out)
+            if self._sample_rows:
+                # the pano_id/prompt rows behind the logged sample images
+                # (reference logs a wandb test-sample table,
+                # EvalPanoGen.py:68-79)
+                import json
+
+                with open(
+                    os.path.join(logger.save_dir, "test_samples.json"), "w"
+                ) as f:
+                    json.dump(self._sample_rows, f, indent=1)
         return out
 
     # ------------------------------------------------------------ driver

@@ -442,34 +442,17 @@ class MvDiffusion:
         return params
 
     def run_eval(self, datamodule, logger, args):
-        from PIL import Image
+        from ..runner import predict as run_predict
 
         params = self.load_or_init_params(
             getattr(args, "ckpt_path", None), getattr(args, "seed", 0)
         )
         mode = "predict" if args.command == "predict" else "test"
-        datamodule.setup(mode)
-        loader = (
-            datamodule.predict_dataloader() if mode == "predict"
-            else datamodule.test_dataloader()
+        ext = "jpg" if mode == "predict" else "png"
+        return run_predict(
+            self, params, datamodule, logger, mode=mode, ext=ext,
+            seed=getattr(args, "seed", 0),
         )
-        rng = jax.random.PRNGKey(getattr(args, "seed", 0))
-        for bi, batch in enumerate(loader):
-            out_dir = os.path.join(logger.save_dir, mode, batch["pano_id"][0])
-            prompt_path = os.path.join(out_dir, "prompt.txt")
-            if os.path.exists(prompt_path):
-                continue
-            rng, sub = jax.random.split(rng)
-            images, pano = self.inference(params, batch, sub)
-            os.makedirs(out_dir, exist_ok=True)
-            ext = "jpg" if mode == "predict" else "png"
-            Image.fromarray(pano[0]).save(os.path.join(out_dir, f"pano.{ext}"))
-            for i in range(images.shape[1]):
-                Image.fromarray(images[0, i]).save(
-                    os.path.join(out_dir, f"{i}.png")
-                )
-            with open(prompt_path, "w") as f:
-                f.write(batch["pano_prompt"][0] + "\n")
 
     def fit(self, datamodule, train_cfg, logger, args):
         """Train the CP blocks + LoRA by multi-view eps-MSE (reference
@@ -542,7 +525,7 @@ class MvDiffusion:
                 step += 1
                 if step % 10 == 0:
                     logger.log({"train/loss": float(loss)}, step)
-                ckpt.maybe_save(merge_params(trainable, frozen))
+                ckpt.maybe_save(lambda: merge_params(trainable, frozen))
                 if getattr(args, "max_steps", None) and step >= args.max_steps:
                     ckpt.save(merge_params(trainable, frozen))
                     return

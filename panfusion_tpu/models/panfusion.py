@@ -321,16 +321,30 @@ class PanFusion:
         site_map, n_uniq = self._site_dedup_map()
         first = [site_map.index(u) for u in range(n_uniq)]
 
-        def cast(x):
-            return x.astype(cfg.dtype) if x.ndim >= 3 else x
+        from ..nn.epp import EPPSite
 
-        return [
-            jax.tree.map(
-                lambda *xs: jnp.stack([cast(x) for x in xs]),
-                *[ph[i] for ph in phases],
+        def stack_site(sites_over_phases):
+            # masks go to the compute dtype (HBM: the site-1 stack is
+            # ~84 MB in f32); coords MUST stay f32 — spherical_pe
+            # multiplies them by frequency bands up to ~3.4e6, where a
+            # bf16 rounding of lon/lat shifts the sin argument by
+            # thousands of radians
+            return EPPSite(
+                pers_mask=jnp.stack(
+                    [s.pers_mask.astype(cfg.dtype) for s in sites_over_phases]
+                ),
+                equi_mask=jnp.stack(
+                    [s.equi_mask.astype(cfg.dtype) for s in sites_over_phases]
+                ),
+                pers_coords=jnp.stack(
+                    [s.pers_coords for s in sites_over_phases]
+                ),
+                equi_coords=jnp.stack(
+                    [s.equi_coords for s in sites_over_phases]
+                ),
             )
-            for i in first
-        ]
+
+        return [stack_site([ph[i] for ph in phases]) for i in first]
 
     def _sample_loop(
         self,
@@ -517,6 +531,7 @@ class PanFusion:
             self, datamodule, train_cfg, logger,
             max_steps=getattr(args, "max_steps", None),
             seed=getattr(args, "seed", 0),
+            warm_start=getattr(args, "ckpt_path", None),
         )
 
     def load_or_init_params(self, ckpt_path=None, seed: int = 0):
@@ -526,11 +541,12 @@ class PanFusion:
             from ..train.checkpoints import CheckpointManager, warm_start_params
 
             ckpt = CheckpointManager(os.path.dirname(os.path.abspath(ckpt_path)))
-            loaded = ckpt.restore(params, os.path.basename(ckpt_path))
-            if loaded is not None:
-                params = warm_start_params(params, loaded)
-            else:
+            loaded = ckpt.restore_raw(os.path.basename(ckpt_path))
+            if loaded is None:
                 print(f"WARNING: checkpoint {ckpt_path} not found; random init")
+            else:
+                for tree in _param_trees_of_checkpoint(loaded):
+                    params = warm_start_params(params, tree)
         return params
 
     def run_eval(self, datamodule, logger, args):
@@ -553,6 +569,20 @@ class PanFusion:
             self.cfg.pers_latent_res, self.cfg.equi_latent_hw, fov, theta, phi,
             batch=batch, n_levels=self.n_levels,
         )
+
+
+def _param_trees_of_checkpoint(loaded):
+    """Param subtrees of a restored checkpoint, in merge order.
+
+    fit saves a TrainState {trainable, frozen, opt_state, step}; eval wants
+    a plain {dual, vae, text, ...} tree. Merge frozen then trainable so the
+    trained subset wins; a plain param tree passes through unchanged."""
+    if isinstance(loaded, dict) and {"trainable", "frozen"} <= set(loaded):
+        return [loaded["frozen"], loaded["trainable"]]
+    if isinstance(loaded, (list, tuple)) and len(loaded) == 4:
+        # TrainState restored as a positional sequence
+        return [loaded[1], loaded[0]]
+    return [loaded]
 
 
 def _cfg_tile_site(s, b2: int, m: int):

@@ -51,8 +51,24 @@ def fit(
     resume: bool = True,
     max_steps: Optional[int] = None,
     seed: int = 0,
+    warm_start: Optional[str] = None,
 ):
+    from .train.checkpoints import CheckpointManager, warm_start_params
+
     params = model.init_params(jax.random.PRNGKey(seed))
+    if warm_start:
+        # warm-start fit from a prior run's checkpoint (reference
+        # --model.ckpt_path, PanoGenerator.py:86-114 — e.g. initializing
+        # the ControlNet stage from the text-to-pano weights)
+        from .models.panfusion import _param_trees_of_checkpoint
+
+        ckpt0 = CheckpointManager(os.path.dirname(os.path.abspath(warm_start)))
+        loaded = ckpt0.restore_raw(os.path.basename(warm_start))
+        if loaded is None:
+            print(f"WARNING: warm-start checkpoint {warm_start} not found")
+        else:
+            for tree in _param_trees_of_checkpoint(loaded):
+                params = warm_start_params(params, tree)
     datamodule.prepare_data()
     datamodule.setup("fit")
     loader = datamodule.train_dataloader()
@@ -182,10 +198,14 @@ def predict(
         else datamodule.test_dataloader()
     )
     # multi-chip serving: shard the view axis over the mesh when more than
-    # one device is visible (no-op on a single chip)
-    params, mesh = model.prepare_inference_mesh(params)
-    if mesh is not None:
-        print(f"predicting on mesh {dict(mesh.shape)}")
+    # one device is visible (no-op on a single chip; models without a
+    # sharded serving path run as-is)
+    mesh = None
+    prep = getattr(model, "prepare_inference_mesh", None)
+    if prep is not None:
+        params, mesh = prep(params)
+        if mesh is not None:
+            print(f"predicting on mesh {dict(mesh.shape)}")
     rng = jax.random.PRNGKey(seed)
     for bi, batch in enumerate(loader):
         out_dir = os.path.join(logger.save_dir, mode, batch["pano_id"][0])
@@ -193,7 +213,11 @@ def predict(
         if os.path.exists(prompt_path):
             continue
         rng, sub = jax.random.split(rng)
-        images, pano = model.inference(params, batch, sub, mesh=mesh)
+        images, pano = (
+            model.inference(params, batch, sub, mesh=mesh)
+            if mesh is not None
+            else model.inference(params, batch, sub)
+        )
         os.makedirs(out_dir, exist_ok=True)
         Image.fromarray(pano[0]).save(os.path.join(out_dir, f"pano.{ext}"))
         if mode == "test":

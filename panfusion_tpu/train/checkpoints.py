@@ -25,7 +25,9 @@ class CheckpointManager:
         self.ckpt_dir = os.path.abspath(ckpt_dir)
         os.makedirs(self.ckpt_dir, exist_ok=True)
         self.interval = interval_minutes * 60.0
-        self._last_save = 0.0
+        # first interval starts now — step 1 must not block on a full
+        # multi-GB serialization
+        self._last_save = time.time()
         self._ckptr = ocp.StandardCheckpointer()
 
     def _path(self, name: str) -> str:
@@ -46,9 +48,10 @@ class CheckpointManager:
 
     def maybe_save(self, state, name: str = "last") -> bool:
         """Time-interval checkpointing (reference train_time_interval=10min,
-        main.py:35-39)."""
+        main.py:35-39). `state` may be a zero-arg callable so callers don't
+        materialize the save tree on steps that don't save."""
         if time.time() - self._last_save >= self.interval:
-            self.save(state, name)
+            self.save(state() if callable(state) else state, name)
             return True
         return False
 
@@ -57,6 +60,15 @@ class CheckpointManager:
         if not os.path.exists(path):
             return None
         return self._ckptr.restore(path, target=target)
+
+    def restore_raw(self, name: str = "last"):
+        """Restore without a target tree (for loading checkpoints whose
+        structure differs from the consumer's — e.g. a fit-saved TrainState
+        loaded for eval as a plain param tree)."""
+        path = self._path(name)
+        if not os.path.exists(path):
+            return None
+        return self._ckptr.restore(path)
 
     def exists(self, name: str = "last") -> bool:
         return os.path.exists(self._path(name))

@@ -66,6 +66,12 @@ def create_train_state(
     cfg: TrainConfig,
     trainable_predicate: Callable = default_trainable,
 ) -> Tuple[TrainState, optax.GradientTransformation]:
+    if model.cfg.layout_cond and cfg.use_cosine:
+        # the reference skips the cosine schedule for the ControlNet stage
+        # (PanoGenerator.py:289)
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, use_cosine=False)
     trainable, frozen = partition_params(params, trainable_predicate)
     if model.cfg.dtype != jnp.float32:
         # mixed precision: frozen towers live in the compute dtype (the
@@ -93,6 +99,11 @@ def create_train_state(
                 jax.tree.map(lambda s: s != 1.0, scales),
             ),
         )
+    if cfg.grad_accum > 1:
+        # gradient accumulation: parameter updates apply every k-th step
+        opt = optax.MultiSteps(
+            opt, every_k_schedule=cfg.grad_accum
+        ).gradient_transformation()
     return (
         TrainState(trainable, frozen, opt.init(trainable), jnp.zeros((), jnp.int32)),
         opt,

@@ -68,3 +68,28 @@ def test_fit_step_checkpoint_resume(tiny_model, tmp_path):
     tc2 = TrainConfig(max_epochs=2)
     state2 = fit(tiny_model, dm, tc2, logger2, max_steps=2, seed=0)
     assert int(state2.step) == 2
+
+    # eval-side load: the fit-saved TrainState must restore into a plain
+    # param tree (test/predict --ckpt_path after fit)
+    import jax
+    from flax import traverse_util
+
+    params = tiny_model.load_or_init_params(ckpt_dir, seed=0)
+    flat = traverse_util.flatten_dict(params["dual"])
+    flat_trained = traverse_util.flatten_dict(state2.trainable["dual"])
+    n_checked = 0
+    for k, v in flat_trained.items():
+        assert k in flat
+        np.testing.assert_allclose(
+            np.asarray(flat[k], np.float32), np.asarray(v, np.float32),
+            atol=1e-6,
+        )
+        n_checked += 1
+    assert n_checked > 0
+
+    # warm start: a fresh fit seeded from the checkpoint starts with the
+    # trained weights merged in
+    logger3 = ExperimentLogger(log_dir=str(tmp_path / "logs"), run_id="t3")
+    state3 = fit(tiny_model, dm, TrainConfig(max_epochs=1), logger3,
+                 max_steps=1, seed=1, warm_start=ckpt_dir)
+    assert int(state3.step) == 1
