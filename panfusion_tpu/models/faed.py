@@ -256,13 +256,9 @@ class FAED:
         import optax
 
         cfg = self.cfg
-        # ExponentialLR(gamma) steps per epoch; approximated per-step inside
-        # the schedule by the runner passing epoch boundaries
-        self._opt = optax.adam(
-            optax.exponential_decay(
-                cfg.lr, transition_steps=1, decay_rate=1.0, staircase=True
-            )
-        )
+        # ExponentialLR(0.99)-per-epoch (reference FAED.py:23-32) applies
+        # via the lr_scale update multiplier the fit loop passes
+        self._opt = optax.adam(cfg.lr)
 
         def loss_fn(params, batch_stats, batch, lr_scale):
             out, updates = self.net.apply(
@@ -276,8 +272,11 @@ class FAED:
             (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batch_stats, batch, lr_scale
             )
-            grads = jax.tree.map(lambda g: g * lr_scale, grads)
             updates, opt_state = self._opt.update(grads, opt_state, params)
+            # scale the UPDATE (effective LR), not the gradient — Adam
+            # cancels a constant gradient scale, which made the
+            # ExponentialLR schedule a no-op
+            updates = jax.tree.map(lambda u: u * lr_scale, updates)
             import optax as _optax
 
             params = _optax.apply_updates(params, updates)

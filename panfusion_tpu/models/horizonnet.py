@@ -77,10 +77,18 @@ class BiLSTM(nn.Module):
 
     @nn.compact
     def __call__(self, x):  # (b, w, c)
-        fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype),
-                     name="fwd")
-        bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype),
-                     reverse=True, keep_order=True, name="bwd")
+        # cells named explicitly: auto-naming would bury the params under
+        # OptimizedLSTMCell_{0,1}, desyncing the checkpoint converter
+        fwd = nn.RNN(
+            nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype,
+                                 name="fwd_cell"),
+            name="fwd",
+        )
+        bwd = nn.RNN(
+            nn.OptimizedLSTMCell(self.hidden, dtype=self.dtype,
+                                 name="bwd_cell"),
+            reverse=True, keep_order=True, name="bwd",
+        )
         return jnp.concatenate([fwd(x), bwd(x)], axis=-1)
 
 
@@ -104,9 +112,11 @@ class HorizonNetCore(nn.Module):
             c = f.shape[-1]
             g = GlobalHeightConv(c, c // self.out_scale, self.dtype,
                                  name=f"ghc_{i}")(f, out_w, train)
-            # (b, h, w, c) -> (b, w, h*c) column features
+            # (b, h, w, c) -> (b, w, c*h) column features, CHANNEL-major
+            # like the torch reference's NCHW reshape(bs, c*h, w)
+            # (model.py:150-152) so converted bi_rnn.weight_ih lines up
             b, h, w, cc = g.shape
-            cols.append(jnp.moveaxis(g, 2, 1).reshape(b, w, h * cc))
+            cols.append(jnp.transpose(g, (0, 2, 3, 1)).reshape(b, w, cc * h))
         feature = jnp.concatenate(cols, axis=-1)  # (b, out_w, c_last)
 
         h = BiLSTM(self.rnn_hidden, self.dtype, name="rnn0")(feature)
@@ -215,6 +225,7 @@ class HorizonNet:
         self.net = HorizonNetCore(dtype=cfg.dtype)
         self.layout_iou = LayoutIoU()
         self._infer = None
+        self._infer_vars_id = None
 
     def init_variables(self, rng, hw=(512, 1024)):
         return jax.jit(self.net.init, static_argnums=(2,))(
@@ -227,9 +238,20 @@ class HorizonNet:
         if path:
             from ..train.checkpoints import CheckpointManager
 
-            restored = CheckpointManager(path).restore(variables)
+            # ckpt_path points AT the checkpoint (converter saves
+            # dst/<kind>): restore dirname/<basename>, like the other
+            # models — restoring <path>/last would never find converted
+            # weights
+            mgr = CheckpointManager(os.path.dirname(os.path.abspath(path)))
+            restored = mgr.restore(variables, os.path.basename(path))
+            if restored is None and mgr.exists(
+                os.path.join(os.path.basename(path), "last")
+            ):
+                # fit-saved layout: <path>/checkpoints-style 'last' alias
+                restored = CheckpointManager(path).restore(variables)
             if restored is not None:
                 variables = restored
+                self._infer = None  # drop any jit closure over old weights
             else:
                 print(f"WARNING: HorizonNet ckpt {path} not found; random init")
         return variables
@@ -247,8 +269,11 @@ class HorizonNet:
         """pano [-1,1] (b, H, W, 3) -> (manhattan corner-pixel layouts list,
         bon, cor, masked pano[0,1]) — reference forward (HorizonNet.py:105-111)."""
         x = mask_vertical_fov(pano_pm1, self.cfg.vertical_fov)
-        if self._infer is None:
+        if self._infer is None or self._infer_vars_id != id(variables):
+            # cache keyed on the variables object: a stale closure would
+            # silently predict with the first call's weights
             self._infer = self.infer_fn(variables)
+            self._infer_vars_id = id(variables)
         bon, cor = self._infer(jnp.asarray(x))
         bon, cor = np.asarray(bon), np.asarray(cor)
         H, W = x.shape[-3], x.shape[-2]
@@ -260,9 +285,12 @@ class HorizonNet:
                     normalize=normalize,
                 )
             except Exception:
-                # cuboid fallback grid (reference HorizonNet.py:141-148)
+                # cuboid fallback grid (reference HorizonNet.py:141-148 —
+                # but with the ceil/floor-interleaved row order the IoU
+                # metric expects: the reference's sign puts floor rows at
+                # even indices, which mirrors the polygon projection)
                 cor_id = np.array([
-                    [k // 2 * 256, 256 - ((k % 2) * 2 - 1) * 120]
+                    [k // 2 * 256, 256 + ((k % 2) * 2 - 1) * 120]
                     for k in range(8)
                 ], np.float32)
                 if normalize:
@@ -293,8 +321,11 @@ class HorizonNet:
             (loss, (new_stats, bon_l, cor_l)), grads = grad_fn(
                 params, batch_stats, rng, pano01, bon_t, cor_t
             )
-            grads = jax.tree.map(lambda g: g * lr_scale, grads)
             updates, opt_state = self._opt.update(grads, opt_state, params)
+            # scale the UPDATE, not the gradient: Adam's normalized step
+            # cancels a constant gradient scale, so scaling grads would
+            # make the plateau schedule a no-op
+            updates = jax.tree.map(lambda u: u * lr_scale, updates)
             params = optax.apply_updates(params, updates)
             return params, new_stats, opt_state, loss, bon_l, cor_l
 

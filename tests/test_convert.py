@@ -277,3 +277,119 @@ class TestResnetConversion:
         want_s = tree_paths(v["batch_stats"])
         have_s = tree_paths(got["batch_stats"])
         assert set(want_s) == set(have_s)
+
+
+class TestHorizonNetConverter:
+    def test_full_reference_sd_roundtrip(self):
+        """Synthesize the REFERENCE-shaped HorizonNet state dict — torchvision
+        resnet50 keys under feature_extractor.encoder, GlobalHeightStage and
+        biLSTM keys, with the wrap_lr_pad conv rename applied to every conv
+        (model.py:34-47 wraps each Conv2d as Sequential(pad, conv)) — and
+        pin that conversion reproduces HorizonNetCore's tree exactly."""
+        import jax
+        import jax.numpy as jnp
+
+        from panfusion_tpu.models.horizonnet import HorizonNetCore
+
+        net = HorizonNetCore()
+        v = jax.jit(net.init, static_argnums=2)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 512, 1024, 3)), False
+        )
+        want_p = tree_paths(v["params"])
+        want_s = tree_paths(v["batch_stats"])
+
+        rng = np.random.default_rng(0)
+        sd = {}
+
+        def wrap(key):
+            """wrap_lr_pad rename: conv '<p>.weight' -> '<p>.1.weight'."""
+            for leaf in (".weight", ".bias"):
+                if key.endswith(leaf):
+                    return key[: -len(leaf)] + ".1" + leaf
+            return key
+
+        # -- resnet50 under feature_extractor.encoder (convs wrapped)
+        pre = "feature_extractor.encoder."
+        sd[wrap(pre + "conv1.weight")] = rng.random((64, 3, 7, 7), np.float32)
+        for leaf in ("weight", "bias", "running_mean", "running_var"):
+            sd[f"{pre}bn1.{leaf}"] = rng.random(64, np.float32)
+        sizes, widths, inp = (3, 4, 6, 3), (64, 128, 256, 512), 64
+        for li, (n, wch) in enumerate(zip(sizes, widths), start=1):
+            for j in range(n):
+                pt = f"{pre}layer{li}.{j}"
+                cin = inp if j == 0 else wch * 4
+                sd[wrap(f"{pt}.conv1.weight")] = rng.random((wch, cin, 1, 1), np.float32)
+                sd[wrap(f"{pt}.conv2.weight")] = rng.random((wch, wch, 3, 3), np.float32)
+                sd[wrap(f"{pt}.conv3.weight")] = rng.random((wch * 4, wch, 1, 1), np.float32)
+                for b, c in ((1, wch), (2, wch), (3, wch * 4)):
+                    for leaf in ("weight", "bias", "running_mean", "running_var"):
+                        sd[f"{pt}.bn{b}.{leaf}"] = rng.random(c, np.float32)
+                if j == 0:
+                    sd[wrap(f"{pt}.downsample.0.weight")] = rng.random(
+                        (wch * 4, cin, 1, 1), np.float32)
+                    for leaf in ("weight", "bias", "running_mean", "running_var"):
+                        sd[f"{pt}.downsample.1.{leaf}"] = rng.random(
+                            wch * 4, np.float32)
+            inp = wch * 4
+
+        # -- GlobalHeightStage (shapes from the flax tree, transposed back)
+        for i in range(4):
+            for j in range(4):
+                pf = f"ghc_{i}/c{j}"
+                kh, kw, cin, cout = want_p[f"{pf}/conv/kernel"]
+                pt = f"reduce_height_module.ghc_lst.{i}.layer.{j}.layers"
+                sd[wrap(f"{pt}.0.weight")] = rng.random(
+                    (cout, cin, kh, kw), np.float32)
+                sd[wrap(f"{pt}.0.bias")] = rng.random(cout, np.float32)
+                for tl, fl in (("weight", "scale"), ("bias", "bias")):
+                    sd[f"{pt}.1.{tl}"] = rng.random(cout, np.float32)
+                sd[f"{pt}.1.running_mean"] = rng.random(cout, np.float32)
+                sd[f"{pt}.1.running_var"] = rng.random(cout, np.float32)
+
+        # -- biLSTM + linear
+        for layer in (0, 1):
+            for direction, name in (("", "fwd_cell"), ("_reverse", "bwd_cell")):
+                cin, H = want_p[f"rnn{layer}/{name}/ii/kernel"]
+                sd[f"bi_rnn.weight_ih_l{layer}{direction}"] = rng.random(
+                    (4 * H, cin), np.float32)
+                sd[f"bi_rnn.weight_hh_l{layer}{direction}"] = rng.random(
+                    (4 * H, H), np.float32)
+                sd[f"bi_rnn.bias_ih_l{layer}{direction}"] = rng.random(
+                    4 * H, np.float32)
+                sd[f"bi_rnn.bias_hh_l{layer}{direction}"] = rng.random(
+                    4 * H, np.float32)
+        cin, cout = want_p["linear/kernel"]
+        sd["linear.weight"] = rng.random((cout, cin), np.float32)
+        sd["linear.bias"] = rng.random(cout, np.float32)
+
+        got = cc.convert_horizonnet(sd)
+        have_p = tree_paths(got["params"])
+        have_s = tree_paths(got["batch_stats"])
+        assert set(have_p) == set(want_p), (
+            sorted(set(want_p) - set(have_p))[:8],
+            sorted(set(have_p) - set(want_p))[:8],
+        )
+        for k in want_p:
+            assert want_p[k] == have_p[k], (k, want_p[k], have_p[k])
+        assert set(have_s) == set(want_s)
+        # LSTM biases live on the recurrent denses (flax OptimizedLSTMCell)
+        assert "rnn0/fwd_cell/hi/bias" in have_p
+        assert "rnn0/fwd_cell/ii/bias" not in have_p
+
+
+class TestPanFusionConverterTree:
+    def test_output_wrapped_like_live_params(self):
+        """convert_panfusion_ckpt must return {dual: {params: ...}} so
+        warm_start_params path-matching hits (a bare {params: ...} merges
+        zero tensors)."""
+        sd = {
+            "mv_base_model.cp_blocks_mid.transformer.norm1.weight":
+                np.zeros(8, np.float32),
+            "eval_metrics.fid.something": np.zeros(1, np.float32),
+        }
+        out = cc.convert_panfusion_ckpt(sd)
+        assert set(out) == {"dual"}
+        assert set(out["dual"]) == {"params"}
+        flat = tree_paths(out["dual"]["params"])
+        assert any(k.startswith("cp_blocks_mid/") for k in flat)
+        assert not any("eval_metrics" in k for k in flat)

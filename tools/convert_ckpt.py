@@ -364,15 +364,26 @@ def convert_horizonnet(sd: Dict[str, np.ndarray]) -> Dict:
     linear) -> models/horizonnet.py HorizonNetCore variables.
 
     Note: the torch convs here are wrapped by the LR-pad rewrite
-    (model.py:34-47), which turns `conv` into `conv.1` inside a Sequential —
-    both spellings are accepted.
+    (model.py:34-47), which replaces EVERY Conv2d module `m` with
+    Sequential(pad, m): any conv key `<p>.weight` becomes `<p>.1.weight`,
+    including indexed ones like `...layers.0.1.weight` (GlobalHeightStage)
+    and `downsample.0.1.weight`. A wrapped conv is identified by its 4-D
+    `.1.weight` tensor (a BatchNorm at a genuine Sequential index 1 has
+    1-D weight), so all spellings normalize back.
     """
-    sd = {re.sub(r"\.1\.weight$", ".weight", k)
-          if re.search(r"(conv\w*)\.1\.weight$", k) else k: v
-          for k, v in sd.items()}
-    sd = {re.sub(r"\.1\.bias$", ".bias", k)
-          if re.search(r"(conv\w*)\.1\.bias$", k) else k: v
-          for k, v in sd.items()}
+    wrapped = {
+        k[: -len(".1.weight")]
+        for k, v in sd.items()
+        if k.endswith(".1.weight") and getattr(v, "ndim", 0) == 4
+    }
+
+    def unwrap(k: str) -> str:
+        for suffix in (".1.weight", ".1.bias"):
+            if k.endswith(suffix) and k[: -len(suffix)] in wrapped:
+                return k[: -len(suffix)] + suffix[2:]
+        return k
+
+    sd = {unwrap(k): v for k, v in sd.items()}
 
     res = convert_resnet50(sd, prefix="feature_extractor.encoder.")
     params = {"feature_extractor": res["params"]}
@@ -393,7 +404,7 @@ def convert_horizonnet(sd: Dict[str, np.ndarray]) -> Dict:
     # biLSTM: torch gate order (i, f, g, o); flax OptimizedLSTMCell keeps
     # per-gate Dense params {i,f,g,o} x {i,h}
     for layer in (0, 1):
-        for direction, name in (("", "fwd"), ("_reverse", "bwd")):
+        for direction, name in (("", "fwd_cell"), ("_reverse", "bwd_cell")):
             w_ih = sd[f"bi_rnn.weight_ih_l{layer}{direction}"]
             w_hh = sd[f"bi_rnn.weight_hh_l{layer}{direction}"]
             b_ih = sd[f"bi_rnn.bias_ih_l{layer}{direction}"]
@@ -402,10 +413,12 @@ def convert_horizonnet(sd: Dict[str, np.ndarray]) -> Dict:
             gates = ("i", "f", "g", "o")
             for gi, g in enumerate(gates):
                 sl = slice(gi * H, (gi + 1) * H)
-                base = f"rnn{layer}/{name}/cell"
+                base = f"rnn{layer}/{name}"
                 put(params, f"{base}/i{g}/kernel", t_dense(w_ih[sl]))
-                put(params, f"{base}/i{g}/bias", b_ih[sl] + b_hh[sl])
                 put(params, f"{base}/h{g}/kernel", t_dense(w_hh[sl]))
+                # flax OptimizedLSTMCell: bias lives on the recurrent
+                # denses h{gate} only (i{gate} has use_bias=False)
+                put(params, f"{base}/h{g}/bias", b_ih[sl] + b_hh[sl])
     put(params, "linear/kernel", t_dense(sd["linear.weight"]))
     put(params, "linear/bias", sd["linear.bias"])
     return {"params": params, "batch_stats": stats}
@@ -442,7 +455,10 @@ def convert_panfusion_ckpt(sd: Dict[str, np.ndarray]) -> Dict:
         if path.endswith("kernel"):
             value = t_dense(w) if w.ndim == 2 else t_conv(w)
         put(params, path, value)
-    return {"params": params}
+    # wrap like the live model tree: PanFusion params are
+    # {"dual": {"params": ...}, "vae": ..., "text": ...} and
+    # warm_start_params merges by exact path
+    return {"dual": {"params": params}}
 
 
 def _warp_key(key: str):
