@@ -32,17 +32,17 @@ inline int clampi(int v, int lo, int hi) {
   return v < lo ? lo : (v > hi ? hi : v);
 }
 
-// Bilinear sample of img (H, W, C) at pixel coords (x, y).
-// border: 0 = zeros, 1 = wrap (width AND height), 2 = clamp.
-// wrap_w_only: cv2 BORDER_WRAP-on-equirect behavior (wrap x, clamp y).
+// Bilinear sample of `cn` channels starting at img (which may be offset
+// into a (H, W, stride) image) at pixel coords (x, y).
+// border: 0 = zeros, 1 = wrap x / clamp y (equirect convention), 2 = clamp.
 template <typename T>
-inline void sample_bilinear(const T* img, int H, int W, int C, float x,
-                            float y, int border, float* out) {
+inline void sample_bilinear(const T* img, int H, int W, int stride, int cn,
+                            float x, float y, int border, float* out) {
   float x0f = std::floor(x), y0f = std::floor(y);
   int x0 = static_cast<int>(x0f), y0 = static_cast<int>(y0f);
   float fx = x - x0f, fy = y - y0f;
 
-  for (int c = 0; c < C; ++c) out[c] = 0.0f;
+  for (int c = 0; c < cn; ++c) out[c] = 0.0f;
 
   const float wgt[4] = {(1 - fx) * (1 - fy), fx * (1 - fy), (1 - fx) * fy,
                         fx * fy};
@@ -60,8 +60,8 @@ inline void sample_bilinear(const T* img, int H, int W, int C, float x,
     } else {
       if (xi < 0 || xi >= W || yi < 0 || yi >= H) continue;
     }
-    const T* px = img + (static_cast<int64_t>(yi) * W + xi) * C;
-    for (int c = 0; c < C; ++c)
+    const T* px = img + (static_cast<int64_t>(yi) * W + xi) * stride;
+    for (int c = 0; c < cn; ++c)
       out[c] += wgt[k] * static_cast<float>(px[c]);
   }
 }
@@ -97,7 +97,7 @@ void pf_remap_f32(const float* src, int H, int W, int C, const float* xs,
       const float* px = src + (static_cast<int64_t>(yi) * W + xi) * C;
       for (int c = 0; c < C; ++c) out[c] = px[c];
     } else {
-      sample_bilinear(src, H, W, C, x, y, border, out);
+      sample_bilinear(src, H, W, C, C, x, y, border, out);
     }
   }
 }
@@ -128,10 +128,16 @@ void pf_remap_u8(const uint8_t* src, int H, int W, int C, const float* xs,
       }
       std::memcpy(out, src + (static_cast<int64_t>(yi) * W + xi) * C, C);
     } else {
-      sample_bilinear(src, H, W, C, x, y, border, tmp);
-      for (int c = 0; c < C; ++c) {
-        float v = tmp[c];
-        out[c] = static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v + 0.5f));
+      // channel-chunked through the fixed tmp buffer so arbitrary C
+      // never overflows the stack
+      for (int c0 = 0; c0 < C; c0 += 16) {
+        int cn = C - c0 < 16 ? C - c0 : 16;
+        sample_bilinear(src + c0, H, W, C, cn, x, y, border, tmp);
+        for (int c = 0; c < cn; ++c) {
+          float v = tmp[c];
+          out[c0 + c] =
+              static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v + 0.5f));
+        }
       }
     }
   }

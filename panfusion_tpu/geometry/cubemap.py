@@ -352,7 +352,9 @@ class Equirectangular:
     def save(self, path: str):
         from PIL import Image
 
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         Image.fromarray(self.equirectangular.astype(np.uint8)).save(path)
 
     def to_cubemap(self, face_w: int = 256, mode: str = "bilinear"):
@@ -366,28 +368,32 @@ class Equirectangular:
         runs per item in the host input pipeline while the TPU computes.
         Falls back to the jitted jnp e2p when the library isn't built.
         """
-        fov_h = fov[0] if isinstance(fov, (tuple, list)) else fov
+        if isinstance(fov, (tuple, list)):
+            fov_h, fov_v = float(fov[0]), float(fov[1])
+        else:
+            fov_h, fov_v = float(fov), None
+
+        from .host_grids import map_pers_pix_to_equi_np
 
         from ..ops import host
 
-        if host.available():
-            from .host_grids import map_pers_pix_to_equi_np
+        eh, ew = self.equirectangular.shape[:2]
+        x, y = map_pers_pix_to_equi_np(
+            eh, ew, fov_h, yaw_deg, pitch_deg, hw[0], hw[1], v_fov_deg=fov_v
+        )
+        out = host.remap(self.equirectangular, x, y, mode, "wrap")
+        if out is not None:
+            return out
 
-            eh, ew = self.equirectangular.shape[:2]
-            x, y = map_pers_pix_to_equi_np(
-                eh, ew, fov_h, yaw_deg, pitch_deg, hw[0], hw[1]
-            )
-            return host.remap(self.equirectangular, x, y, mode, "wrap")
+        from ..ops.resample import remap as remap_jax
 
         import jax.numpy as jnp
-
-        from .projection import e2p as e2p_jax
 
         img = jnp.asarray(
             np.moveaxis(self.equirectangular.astype(np.float32), -1, 0)
         )
-        out = e2p_jax(img, fov_h, yaw_deg, pitch_deg, tuple(hw), mode, "wrap")
-        return np.moveaxis(np.asarray(out[0]), 0, -1)
+        out = remap_jax(img, jnp.asarray(x), jnp.asarray(y), mode, "wrap")
+        return np.moveaxis(np.asarray(out), 0, -1)
 
     def rotate(self, degree: float):
         if degree % 360 == 0:

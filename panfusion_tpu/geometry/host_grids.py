@@ -60,11 +60,13 @@ def camera_rotations_np(theta_deg: float, phi_deg: float):
 
 def map_pers_pix_to_equi_np(
     eh: int, ew: int, fov_deg: float, theta_deg: float, phi_deg: float,
-    h: int, w: int,
+    h: int, w: int, v_fov_deg: float = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Numpy twin of projection.map_pers_pix_to_equi (same formulas)."""
+    """Numpy twin of projection.map_pers_pix_to_equi (same formulas).
+    v_fov_deg overrides the aspect-derived vertical FoV (py360convert e2p
+    accepts an (h_fov, v_fov) pair)."""
     fov = np.float32(fov_deg)
-    hfov = (h / w) * fov
+    hfov = (h / w) * fov if v_fov_deg is None else np.float32(v_fov_deg)
     w_len = np.tan(np.deg2rad(fov / 2.0))
     h_len = np.tan(np.deg2rad(hfov / 2.0))
     x = np.ones((h, w), np.float32)

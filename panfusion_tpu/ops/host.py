@@ -72,6 +72,11 @@ def remap(img: np.ndarray, x: np.ndarray, y: np.ndarray,
     img3 = np.ascontiguousarray(img.reshape(H, W, C))
     x = np.ascontiguousarray(x, np.float32)
     y = np.ascontiguousarray(y, np.float32)
+    # the C ABI trusts these: validate before handing out raw pointers
+    if x.shape != y.shape:
+        raise ValueError(f"x {x.shape} and y {y.shape} must match")
+    if x.ndim != 2:
+        raise ValueError(f"coords must be 2-D, got {x.shape}")
     h, w = x.shape
     m, b = _MODES[mode], _BORDERS[border]
     fp = ctypes.POINTER(ctypes.c_float)

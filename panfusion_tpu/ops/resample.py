@@ -43,16 +43,25 @@ def remap(
     """Sample ``img`` (..., H, W) at float pixel coords ``x``/``y`` (h, w).
 
     Coordinates are in pixel units (align_corners=True convention: integer
-    coordinates hit pixel centers exactly).
+    coordinates hit pixel centers exactly). border='wrap' wraps the WIDTH
+    axis only and clamps the height axis — the equirect convention (a
+    vertical overshoot must stick to the pole, not jump to the opposite
+    one); identical semantics to the native C kernel. Integer images
+    interpolate in float32 and round back to the input dtype.
     """
     H, W = img.shape[-2], img.shape[-1]
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
+    is_float = jnp.issubdtype(img.dtype, jnp.floating)
+    wdtype = img.dtype if is_float else jnp.float32
 
-    def wrap_or_clamp(idx, size):
+    def border_x(idx):
         if border == "wrap":
-            return jnp.mod(idx, size)
-        return jnp.clip(idx, 0, size - 1)
+            return jnp.mod(idx, W)
+        return jnp.clip(idx, 0, W - 1)
+
+    def border_y(idx):
+        return jnp.clip(idx, 0, H - 1)
 
     if mode == "nearest":
         # kornia/grid_sample 'nearest' on align_corners=True grids rounds to
@@ -63,15 +72,15 @@ def remap(
             valid = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
             out = _gather_hw(img, jnp.clip(yi, 0, H - 1), jnp.clip(xi, 0, W - 1))
             return out * valid.astype(img.dtype)
-        return _gather_hw(img, wrap_or_clamp(yi, H), wrap_or_clamp(xi, W))
+        return _gather_hw(img, border_y(yi), border_x(xi))
 
     if mode != "bilinear":
         raise ValueError(f"unknown mode {mode!r}")
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    fx = (x - x0).astype(img.dtype)
-    fy = (y - y0).astype(img.dtype)
+    fx = (x - x0).astype(wdtype)
+    fy = (y - y0).astype(wdtype)
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
@@ -82,14 +91,16 @@ def remap(
             w = (fx if dx else 1.0 - fx) * (fy if dy else 1.0 - fy)
             if border == "zeros":
                 valid = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
-                w = w * valid.astype(img.dtype)
+                w = w * valid.astype(wdtype)
                 xi = jnp.clip(xi, 0, W - 1)
                 yi = jnp.clip(yi, 0, H - 1)
             else:
-                xi = wrap_or_clamp(xi, W)
-                yi = wrap_or_clamp(yi, H)
-            term = _gather_hw(img, yi, xi) * w
+                xi = border_x(xi)
+                yi = border_y(yi)
+            term = _gather_hw(img, yi, xi).astype(wdtype) * w
             out = term if out is None else out + term
+    if not is_float:
+        out = jnp.round(out).astype(img.dtype)
     return out
 
 

@@ -37,6 +37,17 @@ def make_mesh(
         while n % d:
             d -= 1
         shape = (d, n // d)
+    if n == len(jax.devices()):
+        # topology-aware layout: keeps the ICI-heavy "model" axis on
+        # physically adjacent chips (a naive reshape can split it across
+        # slow host/DCN links on real slices)
+        try:
+            from jax.experimental import mesh_utils
+
+            arr = mesh_utils.create_device_mesh(shape, devices=devices)
+            return Mesh(arr, ("data", "model"))
+        except Exception:
+            pass  # fall back to the naive layout (virtual CPU devices)
     arr = np.asarray(devices).reshape(shape)
     return Mesh(arr, ("data", "model"))
 
@@ -80,15 +91,22 @@ def shard_params_tp(params, mesh: Mesh, min_size: int = 2**16):
 
 def shard_batch(batch, mesh: Mesh):
     """Place a host batch dict on the mesh: leading dim over "data", the
-    view dim (if present as axis 1 of >=5D arrays) over "model"."""
+    view dim (if present as axis 1 of >=5D arrays) over "model".
+
+    Axes that don't divide their mesh axis (e.g. the pano's singleton
+    view dim) replicate instead; non-array leaves (prompt strings) pass
+    through untouched."""
+    data_ax = mesh.shape["data"]
+    model_ax = mesh.shape["model"]
 
     def place(x):
-        if hasattr(x, "ndim") and x.ndim >= 5:
-            spec = P("data", "model", *([None] * (x.ndim - 2)))
-        elif hasattr(x, "ndim") and x.ndim >= 1:
-            spec = P("data", *([None] * (x.ndim - 1)))
-        else:
-            spec = P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        if not hasattr(x, "ndim") or not hasattr(x, "shape"):
+            return x  # strings / scalars from the collate
+        dims = [None] * x.ndim
+        if x.ndim >= 1 and x.shape[0] % data_ax == 0:
+            dims[0] = "data"
+        if x.ndim >= 5 and x.shape[1] % model_ax == 0:
+            dims[1] = "model"
+        return jax.device_put(x, NamedSharding(mesh, P(*dims)))
 
     return jax.tree.map(place, batch)
