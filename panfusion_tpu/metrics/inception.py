@@ -47,8 +47,13 @@ class BasicConv2d(nn.Module):
 
 
 def _avg_pool3(x):
+    # count_include_pad=True: torchvision inception_v3 semantics, matching
+    # the weights tools/convert_ckpt.py ships. (pytorch-fid's compat net
+    # patches this to False for its TF-ported weights, which cannot be
+    # fetched in this no-egress environment — FID values here are
+    # torchvision-Inception FIDs, self-consistent across runs.)
     return nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
-                       count_include_pad=False)
+                       count_include_pad=True)
 
 
 def _max_pool3s2(x):

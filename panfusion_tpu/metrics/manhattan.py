@@ -153,7 +153,15 @@ class Wall:
 
 
 def _fit_walls_cuboid(xy: np.ndarray, seg: np.ndarray, tol: float) -> List[Wall]:
-    """4 walls, alternating axes chosen by total vote score."""
+    """4 walls, alternating axes chosen by total vote score.
+
+    Axis values are NOT re-voted after the alternation fix — exact parity
+    with the reference gen_ww_cuboid (post_proc.py:90-106), which flips
+    'type' but keeps 'val'."""
+    if len(np.unique(seg)) != 4:
+        # empty segments would vote NaN walls; raise like the reference's
+        # assert so callers fall back to the cuboid grid
+        raise ValueError("cuboid fit needs 4 non-empty wall segments")
     walls = []
     for j in range(4):
         pts = xy[seg == j]

@@ -276,6 +276,11 @@ class HorizonNet:
             self._infer_vars_id = id(variables)
         bon, cor = self._infer(jnp.asarray(x))
         bon, cor = np.asarray(bon), np.asarray(cor)
+        # the cor head emits logits (BCE-with-logits training); the peak
+        # threshold min_v=0.05 assumes probabilities, so sigmoid first —
+        # like the vendored inference.py (the reference task module feeds
+        # raw logits into its own 0.05 threshold, a quirk not reproduced)
+        cor = 1.0 / (1.0 + np.exp(-cor))
         H, W = x.shape[-3], x.shape[-2]
         layouts = []
         for b, c in zip(bon, cor):

@@ -48,6 +48,10 @@ def make_ddim_schedule(
     timesteps = (np.arange(num_inference_steps) * step_ratio).round()[::-1].astype(
         np.int32
     ) + 1
+    # steps_offset pushes the first timestep to T at full-step counts,
+    # one past the alpha table (diffusers would IndexError; jnp would
+    # silently clamp-gather) — clamp explicitly
+    timesteps = np.minimum(timesteps, num_train_timesteps - 1)
     return DDIMSchedule(
         alphas_cumprod=jnp.asarray(acp, jnp.float32),
         final_alpha_cumprod=jnp.asarray(acp[0], jnp.float32),  # set_alpha_to_one=False

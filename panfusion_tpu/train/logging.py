@@ -68,7 +68,19 @@ class ExperimentLogger:
         for k, img in images.items():
             self.log_image(k, img, step)
         if self._wandb is not None:
-            self._wandb.log(metrics, step=step)
+            # wandb rejects raw ndarrays: wrap image-shaped values
+            wb = {
+                k: (self._wandb_image(v) if k in images else v)
+                for k, v in metrics.items()
+            }
+            self._wandb.log(wb, step=step)
+
+    def _wandb_image(self, img: np.ndarray):
+        import wandb
+
+        if img.dtype != np.uint8:
+            img = ((np.clip(img, -1, 1) + 1) * 127.5).astype(np.uint8)
+        return wandb.Image(img)
 
     def log_image(self, name: str, img: np.ndarray, step: Optional[int] = None):
         from PIL import Image
@@ -81,9 +93,12 @@ class ExperimentLogger:
         Image.fromarray(img).save(os.path.join(d, f"{tag}.png"))
 
     def log_summary(self, metrics: Dict):
-        self.summary.update(
-            {k: (float(v) if np.isscalar(v) else v) for k, v in metrics.items()}
-        )
+        def coerce(v):
+            if isinstance(v, str):
+                return v  # np.isscalar(str) is True but float(str) raises
+            return float(v) if np.isscalar(v) else v
+
+        self.summary.update({k: coerce(v) for k, v in metrics.items()})
         with open(os.path.join(self.save_dir, "summary.json"), "w") as f:
             json.dump(self.summary, f, indent=2, default=str)
         if self._wandb is not None:

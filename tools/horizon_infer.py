@@ -65,6 +65,9 @@ def main():
         x = x[None]
         masked = mask_vertical_fov(x, model.cfg.vertical_fov)
         bon, cor = (np.asarray(a) for a in model.infer_fn(variables)(masked))
+        # cor head emits logits; the solver's peak threshold expects
+        # probabilities (vendored inference.py sigmoids too)
+        cor = 1.0 / (1.0 + np.exp(-cor))
         H, W = x.shape[1:3]
         try:
             cor_id, z0, z1 = horizon_to_manhattan_layout(
