@@ -100,7 +100,9 @@ def build_model(name: str, overrides: Dict[str, str], data_hparams=None):
         cfg = MvDiffusionConfig()
         if data_hparams is not None:
             cfg.pers_resolution = data_hparams.pers_resolution
+            cfg.pano_height = data_hparams.pano_height
         apply_overrides(cfg, {**_env_overrides("model"), **overrides}, "model")
+        cfg.__post_init__()  # re-expand preset after overrides
         return MvDiffusion(cfg)
     if name == "FAED":
         from .models.faed import FAED, FAEDConfig

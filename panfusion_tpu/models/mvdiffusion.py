@@ -285,6 +285,26 @@ class MvDiffusionConfig:
     unet_kwargs: Optional[Dict] = None
     vae_kwargs: Optional[Dict] = None
     text_kwargs: Optional[Dict] = None
+    # named architecture preset: "sd2" (default) or "tiny" (fast smoke
+    # drives via --model.preset=tiny, same contract as PanFusionConfig)
+    preset: str = "sd2"
+
+    def __post_init__(self):
+        if self.preset == "tiny":
+            self.unet_kwargs = {
+                **dict(block_out_channels=(32, 64), layers_per_block=1,
+                       heads=(1, 2), dim_head=32, context_dim=64),
+                **(self.unet_kwargs or {}),
+            }
+            self.vae_kwargs = {
+                **dict(block_out_channels=(8, 8, 8, 8), layers_per_block=1),
+                **(self.vae_kwargs or {}),
+            }
+            self.text_kwargs = {
+                **dict(hidden_size=64, intermediate_size=128, num_layers=2,
+                       num_heads=2),
+                **(self.text_kwargs or {}),
+            }
 
     @property
     def pers_latent_res(self) -> int:
