@@ -155,7 +155,7 @@ def e2p(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("out_hw", "mode"))
+@functools.partial(jax.jit, static_argnames=("out_hw", "mode", "border"))
 def p2e(
     p_img: jnp.ndarray,
     fov_deg: jnp.ndarray,
@@ -163,12 +163,17 @@ def p2e(
     phi_deg: jnp.ndarray,
     out_hw: Tuple[int, int],
     mode: str = "bilinear",
+    border: str = "zeros",
 ):
     """Perspective -> equirect inverse warp with validity mask.
 
     p_img: (m, C, h, w). Returns ((m, C, *out_hw), (m, *out_hw) bool mask).
-    Parity with reference p2e.py:52-77 torch path (zero padding + mask
-    multiply).
+    border='zeros' is parity with the reference torch path (p2e.py:52-75,
+    kornia remap zero padding + mask multiply). border='wrap' is parity
+    with its numpy path (p2e.py:75 cv2 BORDER_WRAP): equi pixels whose ray
+    is inside the frustum but whose pixel coordinate rounds past the view
+    edge read the OPPOSITE edge of the same view — geometrically odd, but
+    it is what the reference's dataset/stitch code does.
     """
     m = p_img.shape[0]
     fov = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(fov_deg, jnp.float32)), (m,))
@@ -180,7 +185,7 @@ def p2e(
 
     def one(img, f, t, p):
         x, y, mask = map_equi_pix_to_pers(ph, pw, f, t, p, *out_hw)
-        out = remap(img, x, y, mode, "zeros")
+        out = remap(img, x, y, mode, border)
         return out * mask.astype(img.dtype), mask
 
     return jax.vmap(one)(p_img, fov, theta, phi)
@@ -192,6 +197,8 @@ def mp2e(
     theta_deg,
     phi_deg,
     out_hw: Tuple[int, int],
+    mode: str = "bilinear",
+    border: str = "zeros",
 ) -> jnp.ndarray:
     """Blend m perspective views into one equirect pano.
 
@@ -201,7 +208,10 @@ def mp2e(
     weight-averaged; pixels no view covers become white (255). The
     reference also computes a blurred/eroded mask down-weighted x0.05, but
     never uses it (dead store, mp2e.py:20-22) — deliberately not
-    reproduced.
+    reproduced. NOTE the reference's numpy path effectively ran with
+    nearest resampling regardless of the requested mode (the choose_mode
+    missing-return quirk, utils.py:5-16 — pinned in
+    tests/test_reference_parity.py); mode='nearest' reproduces that.
     """
     m, c, ph, pw = p_imgs.shape
     ramp = jnp.concatenate(
@@ -209,8 +219,10 @@ def mp2e(
     )
     weight_img = jnp.broadcast_to(ramp, (m, 1, ph, pw))
 
-    equis, _ = p2e(p_imgs.astype(jnp.float32), fov_deg, theta_deg, phi_deg, out_hw)
-    weights, _ = p2e(weight_img, fov_deg, theta_deg, phi_deg, out_hw)
+    equis, _ = p2e(p_imgs.astype(jnp.float32), fov_deg, theta_deg, phi_deg,
+                   out_hw, mode=mode, border=border)
+    weights, _ = p2e(weight_img, fov_deg, theta_deg, phi_deg, out_hw,
+                     mode=mode, border=border)
     weights = weights[:, 0]
 
     total = jnp.sum(weights, axis=0)

@@ -46,8 +46,11 @@ def remap(
     coordinates hit pixel centers exactly). border='wrap' wraps the WIDTH
     axis only and clamps the height axis — the equirect convention (a
     vertical overshoot must stick to the pole, not jump to the opposite
-    one); identical semantics to the native C kernel. Integer images
-    interpolate in float32 and round back to the input dtype.
+    one); identical semantics to the native C kernel. border='wrap_hw'
+    wraps BOTH axes — exact cv2 BORDER_WRAP parity, which the reference's
+    numpy p2e path relies on at frustum-edge pixels (p2e.py:75; pinned in
+    tests/test_reference_parity.py). Integer images interpolate in float32
+    and round back to the input dtype.
     """
     H, W = img.shape[-2], img.shape[-1]
     x = x.astype(jnp.float32)
@@ -56,11 +59,13 @@ def remap(
     wdtype = img.dtype if is_float else jnp.float32
 
     def border_x(idx):
-        if border == "wrap":
+        if border in ("wrap", "wrap_hw"):
             return jnp.mod(idx, W)
         return jnp.clip(idx, 0, W - 1)
 
     def border_y(idx):
+        if border == "wrap_hw":
+            return jnp.mod(idx, H)
         return jnp.clip(idx, 0, H - 1)
 
     if mode == "nearest":

@@ -359,6 +359,49 @@ def convert_resnet50(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict:
     return {"params": params, "batch_stats": stats}
 
 
+def convert_faed(sd: Dict[str, np.ndarray]) -> Dict:
+    """Reference FAED AutoEncoder (models/faed/modules.py:120-278, or a
+    lightning FAED ckpt with its ``net.`` prefix, models/faed/FAED.py:21)
+    -> models/faed.py FAEDAutoEncoder {params, batch_stats} variables.
+
+    Torch module layout: `encoder.downconv1_rgb.conv2d.weight` (PanoConv),
+    `encoder.downres1_rgb.conv1.conv2d.weight` + `.batchnorm1.*`
+    (ResBlock), `decoder.upconv2_rgb.conv1.conv2d.*` (ConvBlock),
+    `encoder.fuse.conv2d.*`, `decoder.outconv_rgb.conv2d.*`. Flax drops
+    the `_rgb` suffix and nests the conv as `<name>/conv` (PanoConv) or
+    `<name>/conv{1,2}/conv`."""
+    if any(k.startswith("net.") for k in sd):
+        sd = {k[len("net."):]: v for k, v in sd.items() if k.startswith("net.")}
+
+    params: Dict = {}
+    stats: Dict = {}
+    for key, val in sd.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        parts = key.split(".")
+        parts = [p[: -len("_rgb")] if p.endswith("_rgb") else p for p in parts]
+        leaf = parts[-1]
+        if parts[-2] == "conv2d":
+            path = "/".join(parts[:-2]) + "/conv"
+            if leaf == "weight":
+                put(params, f"{path}/kernel", t_conv(val))
+            else:
+                put(params, f"{path}/bias", val)
+        elif parts[-2].startswith("batchnorm"):
+            path = "/".join(parts[:-1])
+            if leaf == "weight":
+                put(params, f"{path}/scale", val)
+            elif leaf == "bias":
+                put(params, f"{path}/bias", val)
+            elif leaf == "running_mean":
+                put(stats, f"{path}/mean", val)
+            elif leaf == "running_var":
+                put(stats, f"{path}/var", val)
+        else:
+            raise KeyError(f"unrecognized FAED key: {key}")
+    return {"params": params, "batch_stats": stats}
+
+
 def convert_horizonnet(sd: Dict[str, np.ndarray]) -> Dict:
     """HorizonNet torch ckpt (resnet50 + GlobalHeightStage + biLSTM +
     linear) -> models/horizonnet.py HorizonNetCore variables.
@@ -463,9 +506,18 @@ def convert_panfusion_ckpt(sd: Dict[str, np.ndarray]) -> Dict:
 
 def _warp_key(key: str):
     """cp_blocks_encoder.0.transformer.attn1.to_q.weight ->
-    cp_blocks_encoder_0/transformer/attn1/to_q/kernel etc."""
-    k = re.sub(r"(cp_blocks_encoder|cp_blocks_decoder)\.(\d+)\.", r"\1_\2.", k := key)
+    cp_blocks_encoder_0/transformer/attn1/to_q/base/kernel etc.
+
+    The q/k/v projections of the EPP CrossAttention are LoRADense modules
+    (kernel nested under ``base/``, nn/layers.py:79-96) even though the
+    reference never adds LoRA to WarpAttn — to_out is the plain zero-init
+    Dense. pe.freq_bands is a recomputed buffer, not a weight (checked
+    bitwise against torch in tests/test_reference_parity.py)."""
+    if key.endswith("pe.freq_bands"):
+        return None
+    k = re.sub(r"(cp_blocks_encoder|cp_blocks_decoder)\.(\d+)\.", r"\1_\2.", key)
     k = re.sub(r"\bto_out\.0\.", "to_out.", k)
+    k = re.sub(r"\b(to_q|to_k|to_v)\.", r"\1.base.", k)
     k = re.sub(r"\bff\.net\.0\.", "ff.net_0.", k)
     k = re.sub(r"\bff\.net\.2\.", "ff.net_2.", k)
     k = k.replace(".", "/")
@@ -519,6 +571,7 @@ def main():
             "vae": lambda: {"params": convert_vae(sd)},
             "panfusion": lambda: convert_panfusion_ckpt(sd),
             "horizonnet": lambda: convert_horizonnet(sd),
+            "faed": lambda: convert_faed(sd),
             "resnet50": lambda: convert_resnet50(sd),
         }
         tree = converters[kind]()
