@@ -54,6 +54,11 @@ class DataConfig:
     repeat_predict: int = 10
     layout_anno_dir: Optional[str] = None
     load_layout: bool = False
+    # skip the m perspective view crops (the loader's dominant cost) for
+    # models that train on the pano alone — FAED / HorizonNet set this in
+    # fit(); the reference always crops (PanoDataset.py:133-148) and
+    # simply wastes the work
+    load_images: bool = True
 
 
 class PanoDataset:
@@ -177,27 +182,31 @@ class PanoDataset:
         def process_equi(equi: Equirectangular, normalize: bool):
             equi.rotate(rotation)
             equi.flip(flip)
-            imgs = [
-                equi.to_perspective(
-                    (cfg.fov, cfg.fov), t, p,
-                    (cfg.pers_resolution, cfg.pers_resolution),
-                )
-                for t, p in zip(theta, phi)
-            ]
             pano = cv2.resize(
                 np.ascontiguousarray(equi.equirectangular),
                 (data["width"], data["height"]),
                 interpolation=cv2.INTER_AREA,
             ).reshape(data["height"], data["width"], -1)
-            images = np.stack(imgs)
+            if self.result_dir is None and normalize:
+                pano = pano.astype(np.float32) / 127.5 - 1
+            if not cfg.load_images:
+                return pano[None], None
+            images = np.stack([
+                equi.to_perspective(
+                    (cfg.fov, cfg.fov), t, p,
+                    (cfg.pers_resolution, cfg.pers_resolution),
+                )
+                for t, p in zip(theta, phi)
+            ])
             if self.result_dir is None and normalize:
                 images = images.astype(np.float32) / 127.5 - 1
-                pano = pano.astype(np.float32) / 127.5 - 1
             return pano[None], images  # (1, H, W, C), (m, h, w, C)
 
         if "pano_path" in data:
             equi = Equirectangular.from_file(data["pano_path"])
-            data["pano"], data["images"] = process_equi(equi, True)
+            data["pano"], images = process_equi(equi, True)
+            if images is not None:
+                data["images"] = images
 
         if "layout_cond_path" in data:
             equi = Equirectangular.from_file(data["layout_cond_path"])
@@ -213,9 +222,11 @@ class PanoDataset:
                 equi.equirectangular = np.repeat(
                     equi.equirectangular[..., None], 3, axis=-1
                 )
-            data["pano_layout_cond"], data["images_layout_cond"] = process_equi(
+            data["pano_layout_cond"], cond_images = process_equi(
                 equi, normalize
             )
+            if cond_images is not None:
+                data["images_layout_cond"] = cond_images
 
         if "horizon_layout" in data:
             rot_pix = int(rotation / 360 * data["width"])

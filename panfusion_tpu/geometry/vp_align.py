@@ -261,6 +261,14 @@ def find_main_directions(normals: np.ndarray, weights: np.ndarray,
             dirs.append(d)
         R = _nearest_rotation(np.stack(dirs))
 
+    # final E-step against the refit R: the loop's last assignment was
+    # computed BEFORE the last M-step, so boundary segments could come
+    # back assigned inconsistently with the returned rotation (affects
+    # paint_line_map channel coloring)
+    inc = np.abs(normals @ R.T)
+    best = inc.argmin(axis=1)
+    assign = np.where(inc[np.arange(len(normals)), best] < tol, best, -1)
+
     # order: put the most-vertical direction last and keep a proper
     # rotation: the row permutation can be odd and the per-row signs are
     # arbitrary, so fix vertical-up first, then restore det=+1 by flipping

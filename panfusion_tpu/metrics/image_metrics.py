@@ -20,15 +20,15 @@ import numpy as np
 
 from .frechet import StreamingFrechet
 from .inception import (
-    InceptionV3,
     inception_preprocess,
     load_inception_variables,
+    make_inception,
 )
 
 
 @functools.lru_cache(maxsize=1)
 def _inception_fn():
-    net = InceptionV3()
+    net = make_inception()
     variables = load_inception_variables(net)
 
     # params as jit ARGS, not closure constants: closed-over weights get

@@ -46,14 +46,13 @@ class BasicConv2d(nn.Module):
         return nn.relu(x)
 
 
-def _avg_pool3(x):
-    # count_include_pad=True: torchvision inception_v3 semantics, matching
-    # the weights tools/convert_ckpt.py ships. (pytorch-fid's compat net
-    # patches this to False for its TF-ported weights, which cannot be
-    # fetched in this no-egress environment — FID values here are
-    # torchvision-Inception FIDs, self-consistent across runs.)
+def _avg_pool3(x, count_include_pad: bool = True):
+    # torchvision inception_v3 uses count_include_pad=True; pytorch-fid's
+    # TF-ported compat net (the graph torchmetrics' NoTrainInceptionV3 and
+    # therefore the reference's FID/IS actually run) patches it to False
+    # in its FIDInceptionA/C/E blocks.
     return nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
-                       count_include_pad=True)
+                       count_include_pad=count_include_pad)
 
 
 def _max_pool3s2(x):
@@ -62,6 +61,7 @@ def _max_pool3s2(x):
 
 class InceptionA(nn.Module):
     pool_features: int
+    fid_variant: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -76,7 +76,8 @@ class InceptionA(nn.Module):
         b3 = BasicConv2d(96, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
                          name="branch3x3dbl_3")(b3)
         bp = BasicConv2d(self.pool_features, (1, 1), dtype=self.dtype,
-                         name="branch_pool")(_avg_pool3(x))
+                         name="branch_pool")(
+            _avg_pool3(x, count_include_pad=not self.fid_variant))
         return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
 
@@ -97,6 +98,7 @@ class InceptionB(nn.Module):
 
 class InceptionC(nn.Module):
     channels_7x7: int
+    fid_variant: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -118,7 +120,8 @@ class InceptionC(nn.Module):
         bd = BasicConv2d(192, (1, 7), padding=((0, 0), (3, 3)), dtype=self.dtype,
                          name="branch7x7dbl_5")(bd)
         bp = BasicConv2d(192, (1, 1), dtype=self.dtype,
-                         name="branch_pool")(_avg_pool3(x))
+                         name="branch_pool")(
+            _avg_pool3(x, count_include_pad=not self.fid_variant))
         return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
 
@@ -141,6 +144,9 @@ class InceptionD(nn.Module):
 
 
 class InceptionE(nn.Module):
+    # pool: 'avg' (torchvision), 'avg_nopad' (FIDInceptionE_1, Mixed_7b),
+    # 'max' (FIDInceptionE_2, Mixed_7c — pytorch-fid reproduces a TF bug)
+    pool: str = "avg"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -162,15 +168,28 @@ class InceptionE(nn.Module):
             BasicConv2d(384, (3, 1), padding=((1, 1), (0, 0)), dtype=self.dtype,
                         name="branch3x3dbl_3b")(bd),
         ], axis=-1)
+        if self.pool == "max":
+            pooled = nn.max_pool(x, (3, 3), strides=(1, 1),
+                                 padding=((1, 1), (1, 1)))
+        else:
+            pooled = _avg_pool3(x, count_include_pad=self.pool == "avg")
         bp = BasicConv2d(192, (1, 1), dtype=self.dtype,
-                         name="branch_pool")(_avg_pool3(x))
+                         name="branch_pool")(pooled)
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
 class InceptionV3(nn.Module):
-    """Returns (features (b, 2048), logits (b, num_classes))."""
+    """Returns (features (b, 2048), logits (b, num_classes)).
 
-    num_classes: int = 1000
+    fid_variant=True (default) is the pytorch-fid-compatible graph — the
+    net torchmetrics' NoTrainInceptionV3 runs, hence what the reference's
+    FID/IS numbers are defined on: avg pools exclude padding in the A/C/E1
+    blocks, Mixed_7c pools with MAX, and the TF-ported fc has 1008
+    classes. fid_variant=False + num_classes=1000 is plain torchvision
+    inception_v3 (its weights convert via tools/convert_ckpt.py too)."""
+
+    num_classes: int = 1008
+    fid_variant: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -186,23 +205,39 @@ class InceptionV3(nn.Module):
         x = BasicConv2d(80, (1, 1), dtype=self.dtype, name="Conv2d_3b_1x1")(x)
         x = BasicConv2d(192, (3, 3), dtype=self.dtype, name="Conv2d_4a_3x3")(x)
         x = _max_pool3s2(x)
-        x = InceptionA(32, dtype=self.dtype, name="Mixed_5b")(x)
-        x = InceptionA(64, dtype=self.dtype, name="Mixed_5c")(x)
-        x = InceptionA(64, dtype=self.dtype, name="Mixed_5d")(x)
+        fid = self.fid_variant
+        x = InceptionA(32, fid, dtype=self.dtype, name="Mixed_5b")(x)
+        x = InceptionA(64, fid, dtype=self.dtype, name="Mixed_5c")(x)
+        x = InceptionA(64, fid, dtype=self.dtype, name="Mixed_5d")(x)
         x = InceptionB(dtype=self.dtype, name="Mixed_6a")(x)
-        x = InceptionC(128, dtype=self.dtype, name="Mixed_6b")(x)
-        x = InceptionC(160, dtype=self.dtype, name="Mixed_6c")(x)
-        x = InceptionC(160, dtype=self.dtype, name="Mixed_6d")(x)
-        x = InceptionC(192, dtype=self.dtype, name="Mixed_6e")(x)
+        x = InceptionC(128, fid, dtype=self.dtype, name="Mixed_6b")(x)
+        x = InceptionC(160, fid, dtype=self.dtype, name="Mixed_6c")(x)
+        x = InceptionC(160, fid, dtype=self.dtype, name="Mixed_6d")(x)
+        x = InceptionC(192, fid, dtype=self.dtype, name="Mixed_6e")(x)
         x = InceptionD(dtype=self.dtype, name="Mixed_7a")(x)
-        x = InceptionE(dtype=self.dtype, name="Mixed_7b")(x)
-        x = InceptionE(dtype=self.dtype, name="Mixed_7c")(x)
+        x = InceptionE("avg_nopad" if fid else "avg", dtype=self.dtype,
+                       name="Mixed_7b")(x)
+        x = InceptionE("max" if fid else "avg", dtype=self.dtype,
+                       name="Mixed_7c")(x)
         feats = jnp.mean(x, axis=(1, 2))  # adaptive avg pool -> (b, 2048)
         logits = nn.Dense(self.num_classes, dtype=self.dtype, name="fc")(feats)
         return feats, logits
 
 
 _warned = False
+
+
+def make_inception() -> InceptionV3:
+    """InceptionV3 matching weights/inception_v3.npz when present: a
+    1008-class fc means the pytorch-fid TF-ported checkpoint (compat
+    graph), 1000 means plain torchvision. Without weights, default to the
+    fid-compat graph — the semantics the reference's torchmetrics FID/IS
+    are defined on."""
+    if os.path.exists(WEIGHTS_PATH):
+        with np.load(WEIGHTS_PATH) as flat:
+            n = flat["params/fc/kernel"].shape[-1]
+        return InceptionV3(num_classes=n, fid_variant=n == 1008)
+    return InceptionV3()
 
 
 def load_inception_variables(net: InceptionV3, seed: int = 0):

@@ -288,6 +288,9 @@ class FAED:
         import optax
 
         cfg = self.cfg
+        # FAED trains on the pano alone: skip the loader's m perspective
+        # crops (its dominant cost)
+        datamodule.hparams.load_images = False
         datamodule.setup("fit")
         loader = datamodule.train_dataloader()
         variables = self.init_params(jax.random.PRNGKey(getattr(args, "seed", 0)))
@@ -298,8 +301,17 @@ class FAED:
         from ..train.checkpoints import CheckpointManager
 
         ckpt = CheckpointManager(f"{logger.save_dir}/checkpoints")
-        step = 0
-        for epoch in range(cfg.max_epochs):
+        state = {"params": params, "batch_stats": batch_stats,
+                 "opt_state": opt_state, "step": jnp.zeros((), jnp.int32)}
+        if ckpt.exists("last"):
+            restored = ckpt.restore(state, "last")
+            if restored is not None:
+                state = restored
+                print(f"Resumed FAED from step {int(state['step'])}")
+        params, batch_stats = state["params"], state["batch_stats"]
+        opt_state, step = state["opt_state"], int(state["step"])
+        steps_per_epoch = max(1, len(loader))
+        for epoch in range(step // steps_per_epoch, cfg.max_epochs):
             lr_scale = cfg.lr_decay**epoch
             for batch in loader:
                 dev = {"pano": jnp.asarray(batch["pano"][:, 0])}
@@ -308,9 +320,17 @@ class FAED:
                 )
                 step += 1
                 if step % 10 == 0:
-                    logger.log({"train/loss": float(loss)}, step)
-                ckpt.maybe_save({"params": params, "batch_stats": batch_stats})
-            ckpt.save({"params": params, "batch_stats": batch_stats})
+                    # scheduled LR (reference LearningRateMonitor parity:
+                    # Adam + ExponentialLR 0.99/epoch, FAED.py:23-32)
+                    logger.log({"train/loss": float(loss),
+                                "train/lr": cfg.lr * lr_scale}, step)
+                state = {"params": params, "batch_stats": batch_stats,
+                         "opt_state": opt_state,
+                         "step": jnp.asarray(step, jnp.int32)}
+                ckpt.maybe_save(state)
+                if getattr(args, "max_steps", None) and step >= args.max_steps:
+                    break
+            ckpt.save(state)
             if getattr(args, "max_steps", None) and step >= args.max_steps:
                 break
         return {"params": params, "batch_stats": batch_stats}

@@ -225,7 +225,7 @@ class HorizonNet:
         self.net = HorizonNetCore(dtype=cfg.dtype)
         self.layout_iou = LayoutIoU()
         self._infer = None
-        self._infer_vars_id = None
+        self._infer_vars = None
 
     def init_variables(self, rng, hw=(512, 1024)):
         return jax.jit(self.net.init, static_argnums=(2,))(
@@ -269,11 +269,12 @@ class HorizonNet:
         """pano [-1,1] (b, H, W, 3) -> (manhattan corner-pixel layouts list,
         bon, cor, masked pano[0,1]) — reference forward (HorizonNet.py:105-111)."""
         x = mask_vertical_fov(pano_pm1, self.cfg.vertical_fov)
-        if self._infer is None or self._infer_vars_id != id(variables):
-            # cache keyed on the variables object: a stale closure would
-            # silently predict with the first call's weights
+        if self._infer is None or self._infer_vars is not variables:
+            # cache keyed on the variables object IDENTITY (a strong ref,
+            # not id(): a gc'd dict's address can be reused and would
+            # silently serve the first call's weights)
             self._infer = self.infer_fn(variables)
-            self._infer_vars_id = id(variables)
+            self._infer_vars = variables
         bon, cor = self._infer(jnp.asarray(x))
         bon, cor = np.asarray(bon), np.asarray(cor)
         # the cor head emits logits (BCE-with-logits training); the peak
@@ -338,6 +339,9 @@ class HorizonNet:
 
     def fit(self, datamodule, train_cfg, logger, args):
         cfg = self.cfg
+        # HorizonNet trains on pano + horizon targets: skip the loader's
+        # m perspective crops (its dominant cost)
+        datamodule.hparams.load_images = False
         datamodule.setup("fit")
         loader = datamodule.train_dataloader()
         sample = next(iter(loader))

@@ -54,11 +54,15 @@ def spherical_pe_freq_bands(n_freqs: int) -> np.ndarray:
     try:
         import torch
 
-        return (base ** torch.linspace(0, n_freqs - 1, n_freqs)).numpy()
+        bands = (base ** torch.linspace(0, n_freqs - 1, n_freqs)).numpy()
     except ImportError:  # pragma: no cover - torch is in this image
-        return np.float32(base) ** np.linspace(
+        bands = np.float32(base) ** np.linspace(
             0.0, n_freqs - 1, n_freqs, dtype=np.float32
         )
+    # the lru_cached array is shared by every caller: freeze it so a
+    # mutation can't silently corrupt all subsequent positional encodings
+    bands.setflags(write=False)
+    return bands
 
 
 def spherical_pe(coords: jnp.ndarray, n_freqs: int) -> jnp.ndarray:

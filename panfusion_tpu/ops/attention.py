@@ -114,11 +114,15 @@ def bias_attention(q, k, v, bias=None, force_xla: bool = False):
                 block_sizes=block,
             )
             return jnp.swapaxes(out, 1, 2).astype(q.dtype)
-        except (ImportError, AttributeError, TypeError) as exc:
-            # jax version drift (moved module / renamed kwarg or field):
-            # fall through to XLA, but never silently — the XLA path
-            # materializes the score tensor in HBM and is ~10x slower at
-            # full size, so a quiet fallback would look like a perf bug
+        except (ImportError, AttributeError, TypeError,
+                NotImplementedError, ValueError) as exc:
+            # jax version drift (moved module / renamed kwarg or field) or
+            # a tracing context the kernel doesn't support (missing
+            # batching rule -> NotImplementedError, kernel constraint not
+            # covered by _flash_ok -> ValueError): fall through to XLA,
+            # but never silently — the XLA path materializes the score
+            # tensor in HBM and is ~10x slower at full size, so a quiet
+            # fallback would look like a perf bug
             _warn_flash_fallback(repr(exc))
 
     return jax.nn.dot_product_attention(q, k, v, bias=bias4)

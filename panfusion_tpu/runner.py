@@ -138,9 +138,21 @@ def fit(
             state, metrics = step_fn(state, dev_batch, sub)
             step += 1
             if step % 10 == 0:
-                logger.log(
-                    {f"train/{k}": float(v) for k, v in metrics.items()}, step
-                )
+                from .train.loop import make_lr_schedule
+
+                scalars = {f"train/{k}": float(v) for k, v in metrics.items()}
+                # scheduled LR each log step (reference LearningRateMonitor,
+                # main.py:41) — without it the cosine/CN-scale schedules
+                # are invisible in the JSONL streams. The ControlNet stage
+                # trains at constant LR (create_train_state drops cosine,
+                # reference PanoGenerator.py:289) — mirror that here.
+                lr_cfg = train_cfg
+                if getattr(model.cfg, "layout_cond", False):
+                    import dataclasses as _dc
+
+                    lr_cfg = _dc.replace(train_cfg, use_cosine=False)
+                scalars["train/lr"] = float(make_lr_schedule(lr_cfg)(step))
+                logger.log(scalars, step)
             ckpt.maybe_save(state)
             if max_steps is not None and step >= max_steps:
                 ckpt.save(state)

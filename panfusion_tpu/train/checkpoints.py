@@ -55,11 +55,36 @@ class CheckpointManager:
             return True
         return False
 
+    def _restore_numpy(self, path):
+        """Restore the whole tree as host numpy arrays, ignoring the saved
+        device/sharding metadata. This is deliberate, twice over: (a) a
+        checkpoint written on the tunneled TPU must restore in CPU test
+        processes (orbax's device-target restore raises 'Device TPU v5
+        lite0 was not found'), and (b) restoring device-target arrays over
+        the axon tunnel deadlocks on the first host fetch (int(step) hung
+        forever — see round-2 notes). Callers feed the numpy leaves back
+        into jit, which device-puts them on first use."""
+        import numpy as np
+
+        import jax
+
+        ckptr = ocp.PyTreeCheckpointer()
+        meta = ckptr.metadata(path)
+        structure = getattr(meta, "item_metadata", meta)
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), structure
+        )
+        return ckptr.restore(
+            path, args=ocp.args.PyTreeRestore(restore_args=restore_args)
+        )
+
     def restore(self, target, name: str = "last"):
+        """Restore into the structure of ``target`` (leaves come back as
+        host numpy; the saved tree must match target's structure)."""
         path = self._path(name)
         if not os.path.exists(path):
             return None
-        return self._ckptr.restore(path, target=target)
+        return _rebuild_like(target, self._restore_numpy(path))
 
     def restore_raw(self, name: str = "last"):
         """Restore without a target tree (for loading checkpoints whose
@@ -68,10 +93,36 @@ class CheckpointManager:
         path = self._path(name)
         if not os.path.exists(path):
             return None
-        return self._ckptr.restore(path)
+        return self._restore_numpy(path)
 
     def exists(self, name: str = "last") -> bool:
         return os.path.exists(self._path(name))
+
+
+def _rebuild_like(target, restored):
+    """Re-attach ``target``'s container types to an orbax numpy restore:
+    orbax serializes NamedTuples (TrainState, optax states) as dicts keyed
+    by field name, tuples as lists, and empty states as None — rebuild by
+    NAME, never by flatten order (NamedTuple field order != dict sorted
+    order)."""
+    from collections.abc import Mapping
+
+    if restored is None:
+        return target  # e.g. optax EmptyState() stored as None
+    if hasattr(target, "_fields"):  # NamedTuple
+        return type(target)(*(
+            _rebuild_like(getattr(target, f), restored[f])
+            for f in target._fields
+        ))
+    if isinstance(target, Mapping):
+        return type(target)(
+            {k: _rebuild_like(v, restored[k]) for k, v in target.items()}
+        )
+    if isinstance(target, (list, tuple)):
+        return type(target)(
+            _rebuild_like(t, r) for t, r in zip(target, restored)
+        )
+    return restored
 
 
 def warm_start_params(params: Dict, loaded: Dict) -> Dict:

@@ -44,20 +44,25 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def make_lr_schedule(cfg: TrainConfig):
+    """The scheduled LR as a callable of step — used by the optimizer AND
+    by the fit loop's train/lr logging (reference LearningRateMonitor,
+    main.py:41). Torch CosineAnnealingLR semantics: lr(e) = eta_min +
+    (lr0-eta_min)(1+cos(pi e/T))/2, stepped per epoch."""
+    if not cfg.use_cosine:
+        return lambda step: cfg.lr
+
+    def lr_schedule(step):
+        epoch = jnp.minimum(step // cfg.steps_per_epoch, cfg.max_epochs)
+        cos = 0.5 * (1 + jnp.cos(jnp.pi * epoch / cfg.max_epochs))
+        return cfg.eta_min + (cfg.lr - cfg.eta_min) * cos
+
+    return lr_schedule
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    """AdamW + per-epoch cosine annealing to eta_min (the torch
-    CosineAnnealingLR schedule: lr(e) = eta_min + (lr0-eta_min)
-    (1+cos(pi e/T))/2, stepped per epoch)."""
-    if cfg.use_cosine:
-
-        def lr_schedule(step):
-            epoch = jnp.minimum(step // cfg.steps_per_epoch, cfg.max_epochs)
-            cos = 0.5 * (1 + jnp.cos(jnp.pi * epoch / cfg.max_epochs))
-            return cfg.eta_min + (cfg.lr - cfg.eta_min) * cos
-
-    else:
-        lr_schedule = cfg.lr
-    return optax.adamw(lr_schedule, weight_decay=cfg.weight_decay)
+    """AdamW + per-epoch cosine annealing (see make_lr_schedule)."""
+    return optax.adamw(make_lr_schedule(cfg), weight_decay=cfg.weight_decay)
 
 
 def create_train_state(
