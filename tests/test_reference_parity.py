@@ -350,6 +350,92 @@ class TestWarpAttn:
             np.asarray(e_j).transpose(0, 3, 1, 2), e_t.numpy(), atol=5e-5)
 
 
+class TestMVDiffusionParity:
+    def test_correspondence_grids(self):
+        """get_correspondences homography grids (external/MVDiffusion/
+        pano/utils.py:7-42) vs our homographies + warp_pixels."""
+        from panfusion_tpu.geometry.rotations import get_K_R
+        from panfusion_tpu.models.mvdiffusion import (homographies,
+                                                      warp_pixels)
+
+        utils_mod = rs.import_reference("external.MVDiffusion.pano.utils")
+        m, img_h, img_w = 6, 32, 32
+        thetas = np.linspace(0, 360, m, endpoint=False)
+        Ks, Rs = [], []
+        for t in thetas:
+            K, R = get_K_R(90.0, float(t), 0.0, img_h, img_w)
+            Ks.append(np.asarray(K))
+            Rs.append(np.asarray(R))
+        K = torch.tensor(np.stack(Ks), dtype=torch.float32)[None]
+        R = torch.tensor(np.stack(Rs), dtype=torch.float32)[None]
+        want = utils_mod.get_correspondences(R, K, img_h, img_w).numpy()[0]
+
+        H_all = np.asarray(homographies(jnp.asarray(R.numpy()[0]),
+                                        jnp.asarray(K.numpy()[0])))
+        for i in range(m):
+            for j in range(m):
+                got = np.asarray(warp_pixels(jnp.asarray(H_all[i, j]),
+                                             img_h, img_w))
+                # coordinates blow up near the homography horizon (z->0);
+                # only in-range-ish projections are ever consumed (CPAttn
+                # masks to (0, img) — pano/utils.py:76-77)
+                ok = np.abs(want[i, j]).max(-1) < 4 * img_w
+                assert ok.mean() > 0.2 or i == j
+                np.testing.assert_allclose(got[ok], want[i, j][ok],
+                                           atol=2e-2)
+
+    def test_cpattn_block_parity(self):
+        """Full CPAttn forward (homography warps, 3x3-neighborhood key
+        gather, validity mask, reprojection PE, shared transformer —
+        external/MVDiffusion/pano/modules.py:22-86) with weights converted
+        from the reference module's real state_dict."""
+        from panfusion_tpu.geometry.rotations import get_K_R
+        from panfusion_tpu.models.mvdiffusion import CPAttn
+
+        mv_mod = rs.import_reference("external.MVDiffusion.pano.modules")
+        utils_mod = rs.import_reference("external.MVDiffusion.pano.utils")
+
+        torch.manual_seed(5)
+        dim, m, h = 64, 6, 8
+        img_h = img_w = 64
+        ref = mv_mod.CPAttn(dim).eval()
+        for p in ref.parameters():
+            p.data = torch.randn_like(p) * 0.05
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        sd.pop("pe.freq_bands")
+        params = {}
+        for k, v in sd.items():
+            fk = cc._warp_key("cp_blocks_encoder.0." + k)
+            assert fk is not None, k
+            fk = fk[len("cp_blocks_encoder_0/"):]
+            cc.put(params, fk, cc.t_dense(v) if fk.endswith("kernel") else v)
+
+        thetas = np.linspace(0, 360, m, endpoint=False)
+        Ks, Rs = [], []
+        for t in thetas:
+            K, R = get_K_R(90.0, float(t), 0.0, img_h, img_w)
+            Ks.append(np.asarray(K))
+            Rs.append(np.asarray(R))
+        K_t = torch.tensor(np.stack(Ks), dtype=torch.float32)[None]
+        R_t = torch.tensor(np.stack(Rs), dtype=torch.float32)[None]
+
+        rng = np.random.RandomState(0)
+        x = rng.randn(m, dim, h, h).astype(np.float32)
+        corr = utils_mod.get_correspondences(R_t, K_t, img_h, img_w)
+        with torch.no_grad():
+            want = ref(torch.from_numpy(x), corr, img_h, img_w, R_t, K_t,
+                       m).numpy()
+
+        got = CPAttn(dim).apply(
+            {"params": {"transformer": params["transformer"]}},
+            jnp.asarray(x.transpose(0, 2, 3, 1))[None],
+            jnp.asarray(R_t.numpy()), jnp.asarray(K_t.numpy()),
+            (img_h, img_w),
+        )
+        got = np.asarray(got)[0].transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+
 # ------------------------------------------------- converted torch models
 class TestFAEDParity:
     def test_autoencoder_forward_parity(self):
@@ -389,6 +475,99 @@ class TestFAEDParity:
               for k, v in ae.state_dict().items()}
         tree = cc.convert_faed(sd)
         assert "encoder" in tree["params"] and "decoder" in tree["params"]
+
+
+class TestPostProcParity:
+    """metrics/manhattan.py (rewritten Manhattan solver) vs the reference's
+    own external/HorizonNet/misc/post_proc.py — importable here as-is."""
+
+    def test_coordinate_identities(self):
+        pp = rs.import_reference("external.HorizonNet.misc.post_proc")
+        from panfusion_tpu.metrics import manhattan as mh
+
+        rng = np.random.RandomState(0)
+        x = rng.uniform(0, 1024, 64)
+        y = rng.uniform(0, 512, 64)
+        np.testing.assert_allclose(mh.coorx2u(x), pp.np_coorx2u(x),
+                                   atol=1e-12)
+        coor = np.stack([x, y], 1)
+        np.testing.assert_allclose(mh.coor2xy(coor), pp.np_coor2xy(coor),
+                                   atol=1e-9)
+        np.testing.assert_allclose(
+            mh.xy2coor(pp.np_coor2xy(coor)),
+            pp.np_xy2coor(pp.np_coor2xy(coor)), atol=1e-9)
+        coory0 = rng.uniform(300, 400, 32)
+        coory1 = rng.uniform(120, 200, 32)
+        np.testing.assert_allclose(mh.get_z1(coory0, coory1),
+                                   pp.get_z1(coory0, coory1), atol=1e-9)
+        z1 = float(np.mean(pp.get_z1(coory0, coory1)))
+        np.testing.assert_allclose(mh.infer_coory(coory0, z1),
+                                   pp.infer_coory(coory0, z1), atol=1e-9)
+        got_ref = mh.refine_by_fix_z(coory0, coory1)
+        want_ref = pp.np_refine_by_fix_z(coory0, coory1)
+        for g, w_ in zip(got_ref, want_ref):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w_),
+                                       atol=1e-9)
+
+    def _square_room_signals(self, w=1024, h=512):
+        """Floor/ceil boundary of a square room + its corner xs."""
+        from panfusion_tpu.data.layout import Layout
+
+        layout = Layout(1.6, 3.0, np.array(
+            [[-2.0, -2.0], [2.0, -2.0], [2.0, 2.0], [-2.0, 2.0]]))
+        hn = layout.to_horizonnet((w, h))
+        bon = hn["bon"]  # (2, W) ceil/floor rows in pixel coords
+        cor_x = np.sort(layout.to_layout_pos((w, h))[:, 0, 0])
+        return bon, cor_x
+
+    def test_gen_ww_matches_reference(self):
+        """Wall fitting: our gen_walls vs reference gen_ww on a clean
+        square-room boundary, cuboid and general modes."""
+        pp = rs.import_reference("external.HorizonNet.misc.post_proc")
+        from panfusion_tpu.metrics import manhattan as mh
+
+        bon, cor_x = self._square_room_signals()
+        coory = bon[1]  # floor boundary (y pixel per column)
+        z0 = 50
+        for force_cuboid in (True, False):
+            want_xy, want_wall = pp.gen_ww(
+                cor_x, coory, z0, tol=abs(0.16 * z0 / 1.6),
+                force_cuboid=force_cuboid)
+            got = mh.gen_walls(cor_x, coory, z=z0,
+                               tol=abs(0.16 * z0 / 1.6),
+                               force_cuboid=force_cuboid)
+            got_xy = np.asarray(got[0]) if isinstance(got, tuple) else got
+            assert len(got_xy) == len(want_xy), (force_cuboid,
+                                                 len(got_xy), len(want_xy))
+            np.testing.assert_allclose(
+                np.asarray(got_xy, np.float64),
+                np.asarray(want_xy, np.float64), atol=2.0)
+
+
+class TestPanoStretchParity:
+    def test_stretch_matches_reference(self):
+        ps = rs.import_reference("external.HorizonNet.misc.panostretch")
+        from panfusion_tpu.geometry import stretch as st
+
+        rng = np.random.RandomState(0)
+        img = rng.rand(64, 128, 3).astype(np.float32)
+        corners = np.array([[10, 20], [50, 25], [90, 22], [120, 26],
+                            [10, 44], [50, 40], [90, 42], [120, 41]],
+                           np.float64)
+        for kx, ky in ((1.0, 1.0), (1.5, 0.8), (0.7, 1.3)):
+            want_img, want_cor = ps.pano_stretch(img, corners, kx, ky)
+            got_img, got_cor = st.pano_stretch(img, corners, kx, ky)
+            np.testing.assert_allclose(np.asarray(got_cor), want_cor,
+                                       atol=1e-6)
+            d = np.abs(np.asarray(got_img) - want_img)
+            # border rows/cols legitimately differ: the reference samples
+            # through scipy's quirky non-periodic mode='wrap' on BOTH axes
+            # (vertically wrapping over the poles); we wrap the width
+            # periodically and clamp the height. Interior must match to
+            # interpolation-backend tolerance.
+            interior = d[2:-2, 2:-2]
+            assert interior.mean() < 2e-3 and interior.max() < 0.1, (
+                interior.mean(), interior.max())
 
 
 class TestCLIPTextParity:

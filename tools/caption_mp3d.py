@@ -3,14 +3,17 @@
 
 Parity with the reference offline captioner (scripts/caption_mp3d.py:22-60):
 prompts a BLIP-2 model with "a 360 - degree view of" per stitched pano and
-writes `<scene>/blip3_stitched/<view>.txt`.
+writes `<scene>/blip3_stitched/<view>.txt`, skipping views already
+captioned (idempotent re-runs, like the reference's predict skip).
 
 The BLIP-2 checkpoint (lavis `blip2_t5` / pretrain_flant5xxl in the
 reference) requires network access; this environment has none, so the tool
 gates on a locally available captioner: a transformers BLIP checkpoint
 directory passed via --model_dir, else it exits with instructions. Caption
 text is a *dataset-preprocessing artifact* — any BLIP-family captioner
-reproduces the data contract (one caption file per view).
+reproduces the data contract (one caption file per view). The output
+contract itself is pinned by tests/test_caption_tool.py with a stub
+captioner.
 """
 from __future__ import annotations
 
@@ -18,8 +21,63 @@ import argparse
 import os
 import sys
 from glob import glob
+from typing import Callable, List, Tuple
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def scan_todo(mp3d_skybox_path: str) -> Tuple[List[Tuple[str, str]], int]:
+    """(pano_png, caption_txt) pairs still missing a caption, total count.
+
+    Path contract: <scene>/matterport_stitched_images/<view>.png ->
+    <scene>/blip3_stitched/<view>.txt (reference scripts/caption_mp3d.py:
+    33-40, dataset/Matterport3D.py pano_prompt path)."""
+    panos = sorted(glob(os.path.join(
+        mp3d_skybox_path, "*", "matterport_stitched_images", "*.png"
+    )))
+    todo = []
+    for p in panos:
+        scene_dir = os.path.dirname(os.path.dirname(p))
+        view = os.path.splitext(os.path.basename(p))[0]
+        out = os.path.join(scene_dir, "blip3_stitched", f"{view}.txt")
+        if not os.path.exists(out):
+            todo.append((p, out))
+    return todo, len(panos)
+
+
+def run_captioner(todo: List[Tuple[str, str]],
+                  caption_fn: Callable[[str], str],
+                  prompt: str = "a 360 - degree view of") -> int:
+    """Write one caption file per (src, dst) pair; returns files written.
+
+    The prompt prefix is stripped from generations that echo it
+    (reference caption_mp3d.py:51-57)."""
+    for i, (src, dst) in enumerate(todo):
+        text = caption_fn(src).strip()
+        if text.startswith(prompt):
+            text = text[len(prompt):].strip()
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        with open(dst, "w") as f:
+            f.write(text + "\n")
+        if (i + 1) % 20 == 0:
+            print(f"[{i + 1}/{len(todo)}] {dst}: {text}")
+    return len(todo)
+
+
+def make_blip_captioner(model_dir: str, prompt: str):
+    from PIL import Image
+    from transformers import AutoProcessor, BlipForConditionalGeneration
+
+    processor = AutoProcessor.from_pretrained(model_dir)
+    model = BlipForConditionalGeneration.from_pretrained(model_dir)
+
+    def caption(src: str) -> str:
+        image = Image.open(src).convert("RGB")
+        inputs = processor(image, prompt, return_tensors="pt")
+        out_ids = model.generate(**inputs, max_new_tokens=40)
+        return processor.decode(out_ids[0], skip_special_tokens=True)
+
+    return caption
 
 
 def main():
@@ -30,17 +88,8 @@ def main():
     ap.add_argument("--prompt", default="a 360 - degree view of")
     args = ap.parse_args()
 
-    panos = sorted(glob(os.path.join(
-        args.mp3d_skybox_path, "*", "matterport_stitched_images", "*.png"
-    )))
-    todo = []
-    for p in panos:
-        scene_dir = os.path.dirname(os.path.dirname(p))
-        view = os.path.splitext(os.path.basename(p))[0]
-        out = os.path.join(scene_dir, "blip3_stitched", f"{view}.txt")
-        if not os.path.exists(out):
-            todo.append((p, out))
-    print(f"{len(todo)} panoramas to caption (of {len(panos)})")
+    todo, total = scan_todo(args.mp3d_skybox_path)
+    print(f"{len(todo)} panoramas to caption (of {total})")
     if not todo:
         return
     if args.model_dir is None or not os.path.isdir(args.model_dir):
@@ -49,24 +98,8 @@ def main():
             "BLIP/BLIP-2 transformers checkpoint (this environment has no "
             "network egress to fetch one)."
         )
-
-    from PIL import Image
-    from transformers import AutoProcessor, BlipForConditionalGeneration
-
-    processor = AutoProcessor.from_pretrained(args.model_dir)
-    model = BlipForConditionalGeneration.from_pretrained(args.model_dir)
-    for i, (src, dst) in enumerate(todo):
-        image = Image.open(src).convert("RGB")
-        inputs = processor(image, args.prompt, return_tensors="pt")
-        out_ids = model.generate(**inputs, max_new_tokens=40)
-        text = processor.decode(out_ids[0], skip_special_tokens=True)
-        if text.startswith(args.prompt):
-            text = text[len(args.prompt):].strip()
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        with open(dst, "w") as f:
-            f.write(text + "\n")
-        if (i + 1) % 20 == 0:
-            print(f"[{i + 1}/{len(todo)}] {dst}: {text}")
+    run_captioner(todo, make_blip_captioner(args.model_dir, args.prompt),
+                  args.prompt)
 
 
 if __name__ == "__main__":
