@@ -45,7 +45,13 @@ class EvalConfig:
     faed_ckpt: str = os.path.join("weights", "faed")
     horizonnet_ckpt: str = os.path.join("weights", "horizonnet")
     layout_metric: bool = True
-    prompt: PromptConfig = dataclasses.field(default_factory=PromptConfig)
+    # copy_pano_prompt=False: EvalPanoGen inherits the PanoBase DEFAULT
+    # (PanoGenerator.py:22), not PanFusion's True override — mv_CS/pers_CS
+    # score the generated views against the per-view captions, not a
+    # replicated pano prompt (caught by tests/test_eval_prompt_pairing.py)
+    prompt: PromptConfig = dataclasses.field(
+        default_factory=lambda: PromptConfig(copy_pano_prompt=False)
+    )
     seed: int = 0
 
 

@@ -423,7 +423,8 @@ class PanFusion:
         return pers_latents, pano_latent
 
     @functools.partial(
-        jax.jit, static_argnames=("self", "n_steps", "num_views")
+        jax.jit, static_argnames=("self", "n_steps", "num_views"),
+        donate_argnames=("carry",),
     )
     def _sample_chunk(
         self, params, carry, pers_ctx2, pano_ctx2, phase_sites, i0,

@@ -115,8 +115,11 @@ def create_train_state(
     )
 
 
-def make_train_step(model: PanFusion, opt: optax.GradientTransformation):
-    """Returns jitted train_step(state, batch, rng) -> (state, metrics).
+def make_loss_fn(model: PanFusion):
+    """loss_fn(trainable, frozen, batch, rng) -> (loss, metrics) — the
+    dual-branch epsilon-MSE training objective. Exposed standalone so the
+    multichip parity tests can compare raw GRADIENTS across mesh shapes
+    (tests/test_multichip_train_parity.py), not just post-optimizer state.
 
     batch (device arrays):
       images: (b, m, h, w, 3) in [-1, 1]
@@ -202,6 +205,13 @@ def make_train_step(model: PanFusion, opt: optax.GradientTransformation):
             loss_pers = jnp.zeros(())
         loss = loss_pers + loss_pano
         return loss, {"loss": loss, "loss_pers": loss_pers, "loss_pano": loss_pano}
+
+    return loss_fn
+
+
+def make_train_step(model: PanFusion, opt: optax.GradientTransformation):
+    """Returns jitted train_step(state, batch, rng) -> (state, metrics)."""
+    loss_fn = make_loss_fn(model)
 
     @jax.jit
     def train_step(state: TrainState, batch, rng):

@@ -19,7 +19,9 @@ import jax.numpy as jnp
 from panfusion_tpu.models import PanFusion, PanFusionConfig
 from panfusion_tpu.parallel.mesh import make_mesh, shard_batch, shard_params_tp
 from panfusion_tpu.train.loop import (TrainConfig, create_train_state,
-                                      make_train_step, merge_params)
+                                      default_trainable, make_loss_fn,
+                                      make_train_step, merge_params,
+                                      partition_params)
 
 
 def _tiny_model(num_views):
@@ -67,50 +69,77 @@ def _leaf_maxdiff(a, b):
     )
 
 
-def _run_one_step(model, mesh_shape, batch, grad_accum=1):
-    """One (or grad_accum) train step(s); returns (losses, updated
-    trainable tree as host numpy)."""
+def _loss_and_grads(model, batch, mesh_shape):
+    """(loss, grads as host numpy) of one loss/grad evaluation, on a
+    single device (mesh_shape None) or a sharded mesh."""
     params = model.init_params(jax.random.PRNGKey(0))
-    tc = TrainConfig(steps_per_epoch=4, grad_accum=grad_accum)
-    losses = []
+    trainable, frozen = partition_params(params, default_trainable)
+    grad_fn = jax.jit(jax.value_and_grad(make_loss_fn(model), has_aux=True))
+    rng = jax.random.PRNGKey(1)
     if mesh_shape is None:
-        state, opt = create_train_state(model, params, tc)
-        step = make_train_step(model, opt)
-        for i in range(grad_accum):
-            sub = batch if grad_accum == 1 else {
-                k: v[i::grad_accum] if hasattr(v, "ndim") and v.ndim else v
-                for k, v in batch.items()
-            }
-            state, metrics = step(state, sub, jax.random.PRNGKey(1))
-            losses.append(float(metrics["loss"]))
+        (loss, _), grads = grad_fn(trainable, frozen, batch, rng)
     else:
         mesh = make_mesh(shape=mesh_shape)
         with mesh:
-            params = shard_params_tp(params, mesh, min_size=256)
-            state, opt = create_train_state(model, params, tc)
-            step = make_train_step(model, opt)
-            state, metrics = step(state, shard_batch(batch, mesh),
-                                  jax.random.PRNGKey(1))
-            losses.append(float(metrics["loss"]))
-    trainable = jax.tree_util.tree_map(np.asarray, state.trainable)
-    return losses, trainable
+            sharded = shard_params_tp(params, mesh, min_size=256)
+            tr_s, fr_s = partition_params(sharded, default_trainable)
+            (loss, _), grads = grad_fn(tr_s, fr_s,
+                                       shard_batch(batch, mesh), rng)
+    return float(loss), jax.tree_util.tree_map(np.asarray, grads)
+
+
+def _flat(grads):
+    return np.concatenate([np.asarray(g, np.float64).ravel() for g in
+                           jax.tree_util.tree_leaves(grads)])
+
+
+def test_dp_grads_exact():
+    """Pure data parallelism (8x1 mesh) is the literal DDP replacement:
+    same batch + seed must produce the SAME loss and gradients equal to
+    the last-ulp level (XLA SPMD may still re-partition intermediate
+    reductions, so ~1e-9 reassociation noise remains; anything above
+    float-ulp scale would be a real semantics bug)."""
+    m = 8
+    model = _tiny_model(m)
+    batch = _batch(b=2, m=m)
+    loss_1, grads_1 = _loss_and_grads(model, batch, None)
+    loss_n, grads_n = _loss_and_grads(model, batch, (8, 1))
+    assert loss_1 == loss_n, (loss_1, loss_n)
+    for a, b in zip(jax.tree_util.tree_leaves(grads_1),
+                    jax.tree_util.tree_leaves(grads_n)):
+        np.testing.assert_allclose(a, b, atol=1e-7, rtol=1e-5)
 
 
 @pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8)])
-def test_mesh_step_matches_single_device(mesh_shape):
+def test_tp_view_grads_match_single_device(mesh_shape):
+    """View/TP sharding reassociates the per-view gradient sums, so exact
+    bit-equality cannot hold where 8 near-random view contributions cancel
+    (the zero-init attention projections: abs error ~1e-5 on ~1e-3
+    cancelled sums). Measured noise floor on this model: relative L2
+    0.26% (2x4) / 0.42% (1x8) with the forward loss EXACTLY equal and
+    pure-DP at the 1e-9 level — i.e. reassociation-plus-cancellation, not
+    structure (double-counting one of 8 views would read ~12%). Contract:
+    loss equal, global relative L2 < 1%, every leaf < 5%."""
     m = 8  # views divide the model axis of both meshes
     model = _tiny_model(m)
     batch = _batch(b=2, m=m)
 
-    loss_1, train_1 = _run_one_step(model, None, batch)
-    loss_n, train_n = _run_one_step(model, mesh_shape, batch)
+    loss_1, grads_1 = _loss_and_grads(model, batch, None)
+    loss_n, grads_n = _loss_and_grads(model, batch, mesh_shape)
 
-    assert abs(loss_1[0] - loss_n[0]) < 1e-4, (loss_1, loss_n)
-    # updated params equal => the gradients the optimizer consumed were
-    # equal (AdamW normalizes grad scale, so this is a *stronger* check
-    # than comparing raw grads at one point)
-    diff = _leaf_maxdiff(train_1, train_n)
-    assert diff < 2e-4, f"trainable params diverged: {diff}"
+    assert abs(loss_1 - loss_n) < 1e-6, (loss_1, loss_n)
+    g1, gn = _flat(grads_1), _flat(grads_n)
+    rel_l2 = float(np.linalg.norm(g1 - gn) / max(np.linalg.norm(g1), 1e-12))
+    assert rel_l2 < 1e-2, f"global grad L2 divergence {rel_l2}"
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(grads_1),
+        jax.tree_util.tree_leaves_with_path(grads_n),
+    ):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        denom = max(float(np.linalg.norm(a)), 1e-9)
+        rel = float(np.linalg.norm(a - b)) / denom
+        assert rel < 5e-2, (jax.tree_util.keystr(kp), rel)
 
 
 def test_grad_accum_equals_equivalent_single_step():
