@@ -94,10 +94,14 @@ def fit(
             params = shard_params_tp(params, mesh)
             print(f"training on mesh {dict(mesh.shape)}")
 
-    from .train.params import controlnet_trainable, default_trainable
+    from .train.params import (controlnet_trainable, default_trainable,
+                               full_dual_trainable, vae_trainable)
 
     predicate = (
-        controlnet_trainable if model.cfg.layout_cond else default_trainable
+        vae_trainable if train_cfg.objective == "vae_recon"
+        else controlnet_trainable if model.cfg.layout_cond
+        else full_dual_trainable if train_cfg.trainable == "full"
+        else default_trainable
     )
     state, opt = create_train_state(model, params, train_cfg, predicate)
     del params  # frozen f32 originals are donated away; drop the last ref
@@ -122,7 +126,12 @@ def fit(
                 )
             print(f"Resumed from step {int(state.step)}")
 
-    step_fn = make_train_step(model, opt)
+    if train_cfg.objective == "vae_recon":
+        from .train.loop import make_vae_loss_fn
+
+        step_fn = make_train_step(model, opt, make_vae_loss_fn(model))
+    else:
+        step_fn = make_train_step(model, opt)
     rng = jax.random.PRNGKey(seed + 1)
     step = int(state.step)
     start_epoch = step // train_cfg.steps_per_epoch
@@ -159,8 +168,35 @@ def fit(
                 return state
         ckpt.save(state)
         logger.log({"epoch": epoch}, step)
-        _validate(model, state, datamodule, logger, rng, step)
+        if train_cfg.objective == "vae_recon":
+            _validate_vae(model, state, datamodule, logger, step)
+        else:
+            _validate(model, state, datamodule, logger, rng, step)
     return state
+
+
+def _validate_vae(model, state, datamodule, logger, step, max_batches: int = 2):
+    """Epoch-end check for the vae_recon objective: log GT-vs-recon pano
+    pairs (posterior mean, no sampling) instead of running the diffusion
+    sampler against a still-random UNet."""
+    try:
+        loader = datamodule.val_dataloader()
+    except Exception:
+        return
+    params = merge_params(state.trainable, state.frozen)
+    for bi, batch in enumerate(loader):
+        if bi >= max_batches:
+            break
+        pano = jnp.asarray(batch["pano"][:1, 0])
+        mean, _ = model.vae.apply(params["vae"], pano, method=model.vae.encode)
+        rec = np.asarray(
+            model.vae.apply(params["vae"], mean,
+                            method=lambda m, v: m.decoder(v))
+        )
+        rec8 = ((np.clip(rec[0], -1, 1) + 1) * 127.5).astype(np.uint8)
+        gt8 = ((np.clip(np.asarray(pano[0]), -1, 1) + 1) * 127.5).astype(np.uint8)
+        logger.log_image(f"val/vae_recon_{bi}", rec8, step)
+        logger.log_image(f"val/vae_gt_{bi}", gt8, step)
 
 
 def _validate(model, state, datamodule, logger, rng, step, max_batches: int = 4):

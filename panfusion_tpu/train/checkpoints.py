@@ -80,11 +80,18 @@ class CheckpointManager:
 
     def restore(self, target, name: str = "last"):
         """Restore into the structure of ``target`` (leaves come back as
-        host numpy; the saved tree must match target's structure)."""
+        host numpy; the saved tree must match target's structure).
+        Returns None when ``name`` is absent OR is a directory that isn't
+        itself a checkpoint (callers probe several layouts, e.g.
+        HorizonNet.load_variables tries <path> then <path>/last)."""
         path = self._path(name)
         if not os.path.exists(path):
             return None
-        return _rebuild_like(target, self._restore_numpy(path))
+        try:
+            restored = self._restore_numpy(path)
+        except FileNotFoundError:
+            return None
+        return _rebuild_like(target, restored)
 
     def restore_raw(self, name: str = "last"):
         """Restore without a target tree (for loading checkpoints whose
@@ -93,7 +100,10 @@ class CheckpointManager:
         path = self._path(name)
         if not os.path.exists(path):
             return None
-        return self._restore_numpy(path)
+        try:
+            return self._restore_numpy(path)
+        except FileNotFoundError:
+            return None
 
     def exists(self, name: str = "last") -> bool:
         return os.path.exists(self._path(name))

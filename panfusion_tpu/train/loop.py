@@ -35,6 +35,13 @@ class TrainConfig:
     cn_lr_scale: float = 0.1  # reference get_cn (PanoGenerator.py:153-157)
     use_cosine: bool = True  # disabled when layout_cond (PanoGenerator.py:289)
     grad_accum: int = 1
+    # 'adapters' (reference: LoRA + WarpAttn on frozen SD2) or 'full'
+    # (both UNets + WarpAttn; VAE/text frozen — from-scratch runs)
+    trainable: str = "adapters"
+    # 'diffusion' (the reference objective) or 'vae_recon' (first-stage
+    # recon pretrain for from-scratch runs; forces the VAE-only trainable
+    # set — the reference never trains its VAE, it ships SD2's)
+    objective: str = "diffusion"
 
 
 class TrainState(NamedTuple):
@@ -209,9 +216,58 @@ def make_loss_fn(model: PanFusion):
     return loss_fn
 
 
-def make_train_step(model: PanFusion, opt: optax.GradientTransformation):
+def make_vae_loss_fn(model: PanFusion):
+    """First-stage VAE objective (--trainer.objective=vae_recon): posterior
+    sample -> decode, L1 + MSE recon on the pano and the m views, plus a
+    small KL to the unit Gaussian (LDM first-stage weighting). Not a
+    reference training stage — the reference adapts a frozen pretrained SD2
+    VAE (PanoGenerator.py:116-130) — but a from-scratch demo needs the tiny
+    VAE to reconstruct before the diffusion fit can produce visible panos."""
+    kl_weight = 1e-6
+
+    def one_recon(params, x, rng):
+        mean, logvar = model.vae.apply(
+            params["vae"], x, method=model.vae.encode
+        )
+        std = jnp.exp(0.5 * logvar)
+        z = mean + std * jax.random.normal(rng, mean.shape, mean.dtype)
+        rec = model.vae.apply(params["vae"], z, method=lambda m, v: m.decoder(v))
+        rec = rec.astype(jnp.float32)
+        x = x.astype(jnp.float32)
+        recon = jnp.mean(jnp.abs(rec - x)) + jnp.mean((rec - x) ** 2)
+        kl = -0.5 * jnp.mean(
+            1 + logvar - mean.astype(jnp.float32) ** 2
+            - jnp.exp(logvar.astype(jnp.float32))
+        )
+        return recon, kl
+
+    def loss_fn(trainable, frozen, batch, rng):
+        params = merge_params(trainable, frozen)
+        r_pano, r_views = jax.random.split(rng)
+        recon_pano, kl_pano = one_recon(params, batch["pano"], r_pano)
+        views = batch["images"]
+        flat = views.reshape(-1, *views.shape[2:])
+        recon_views, kl_views = one_recon(params, flat, r_views)
+        kl = 0.5 * (kl_pano + kl_views)
+        loss = recon_pano + recon_views + kl_weight * kl
+        return loss, {
+            "loss": loss,
+            "recon_pano": recon_pano,
+            "recon_views": recon_views,
+            "kl": kl,
+        }
+
+    return loss_fn
+
+
+def make_train_step(
+    model: PanFusion,
+    opt: optax.GradientTransformation,
+    loss_fn: Optional[Callable] = None,
+):
     """Returns jitted train_step(state, batch, rng) -> (state, metrics)."""
-    loss_fn = make_loss_fn(model)
+    if loss_fn is None:
+        loss_fn = make_loss_fn(model)
 
     @jax.jit
     def train_step(state: TrainState, batch, rng):

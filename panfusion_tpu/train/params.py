@@ -24,6 +24,21 @@ def default_trainable(path: Tuple[str, ...]) -> bool:
     return LORA_PATTERN in joined or WARP_PATTERN in joined
 
 
+def full_dual_trainable(path: Tuple[str, ...]) -> bool:
+    """From-scratch training: both UNets + WarpAttn blocks (everything
+    under the dual model), with VAE/text towers frozen — the synthetic
+    from-scratch demo's predicate (--trainer.trainable=full). The
+    reference never trains this way (it adapts frozen SD2), but a
+    from-random LoRA-only run cannot learn anything demonstrable."""
+    return path[0] == "dual"
+
+
+def vae_trainable(path: Tuple[str, ...]) -> bool:
+    """First-stage recon pretrain (--trainer.objective=vae_recon): only the
+    AutoencoderKL trains; everything else is frozen ballast."""
+    return path[0] == "vae"
+
+
 def controlnet_trainable(path: Tuple[str, ...]) -> bool:
     """Layout-conditioned stage: LoRA (x1.0) + ControlNet (x0.1 via
     lr_scale_mask); WarpAttn stays frozen (the reference skips

@@ -25,12 +25,10 @@ def tiny_model():
     return PanFusion(cfg)
 
 
-def test_fit_step_checkpoint_resume(tiny_model, tmp_path):
-    pytest.importorskip("orbax.checkpoint")
-
+def _make_tree(tmp_path):
+    """Minimal one-scene MP3D tree (no fixture reuse across files)."""
     from PIL import Image
 
-    # build a minimal one-scene tree inline (no fixture reuse across files)
     root = tmp_path / "mp3d"
     sdir = root / "s1"
     (sdir / "matterport_stitched_images").mkdir(parents=True)
@@ -45,6 +43,13 @@ def test_fit_step_checkpoint_resume(tiny_model, tmp_path):
         (sdir / "blip3" / f"v_{i * 45}.txt").write_text(f"view {i}\n")
     np.save(root / "train.npy", np.array([["s1/matterport_stitched_images/v_x"]]))
     np.save(root / "test.npy", np.array([["s1/matterport_stitched_images/v_x"]]))
+    return root
+
+
+def test_fit_step_checkpoint_resume(tiny_model, tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+
+    root = _make_tree(tmp_path)
 
     from panfusion_tpu.data.matterport3d import Matterport3D
     from panfusion_tpu.runner import fit
@@ -93,3 +98,54 @@ def test_fit_step_checkpoint_resume(tiny_model, tmp_path):
     state3 = fit(tiny_model, dm, TrainConfig(max_epochs=1), logger3,
                  max_steps=1, seed=1, warm_start=ckpt_dir)
     assert int(state3.step) == 1
+
+
+def test_fit_vae_recon_objective(tiny_model, tmp_path):
+    """--trainer.objective=vae_recon: only the VAE trains, the recon loss
+    falls over a few steps, and the epoch-end hook logs recon panels
+    instead of running the diffusion sampler (from-scratch stage 0)."""
+    pytest.importorskip("orbax.checkpoint")
+
+    import jax
+
+    root = _make_tree(tmp_path)
+    # 12 copies of the one sample => 12 steps in one epoch (the JSONL
+    # logger flushes scalars every 10 steps)
+    np.save(root / "train.npy",
+            np.array([["s1/matterport_stitched_images/v_x"]] * 12))
+
+    from panfusion_tpu.data.matterport3d import Matterport3D
+    from panfusion_tpu.runner import fit
+    from panfusion_tpu.train.logging import ExperimentLogger
+    from panfusion_tpu.train.loop import TrainConfig
+
+    dm = Matterport3D(
+        data_dir=str(root), pano_height=64, pers_resolution=32,
+        cam_sampler="horizon", num_workers=0, batch_size=1,
+    )
+    logger = ExperimentLogger(log_dir=str(tmp_path / "logs"), run_id="vr")
+    tc = TrainConfig(max_epochs=1, objective="vae_recon", lr=1e-3,
+                     use_cosine=False)
+    init = tiny_model.init_params(jax.random.PRNGKey(0))
+    state = fit(tiny_model, dm, tc, logger, max_steps=12, seed=0)
+
+    # only the VAE is trainable
+    assert set(state.trainable) == {"vae"}
+    assert "vae" not in state.frozen
+
+    # the trained VAE moved away from init
+    leaves0 = jax.tree.leaves(init["vae"])
+    leaves1 = jax.tree.leaves(state.trainable["vae"])
+    moved = sum(
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(leaves0, leaves1)
+    )
+    assert moved > 1e-4
+
+    # recon metrics stream in the JSONL log
+    import json
+
+    metrics_path = os.path.join(logger.save_dir, "metrics.jsonl")
+    rows = [json.loads(l) for l in open(metrics_path)]
+    recon = [r["train/recon_pano"] for r in rows if "train/recon_pano" in r]
+    assert recon, rows
