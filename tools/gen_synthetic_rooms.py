@@ -13,7 +13,7 @@ tree (dataset/Matterport3D.py:8-131 path contract):
   <out>/<scene>/matterport_aligned_images/<view>.png    (same image)
   <out>/<scene>/blip3_stitched/<view>.txt               pano caption
   <out>/<scene>/blip3/<view>_<i*45>.txt                 8 view captions
-  <out>/<scene>/layout/<view>/layout_distance.png       uint16 x1e3 depth
+  <out>/<scene>/layout/<view>/layout_distance_map.png   uint16 x1e3 depth
   <out>/train.npy, test.npy, lo_{train,val,test}.txt
   <anno>/label_data/<scene>_<view>_label.json           PanoAnnotator JSON
 
@@ -151,7 +151,7 @@ def write_scene(root: str, anno: str, scene: str, view: str,
     # (scripts/render_layout.py:33-34 contract)
     dist = layout.render_distance_map((h, w))
     Image.fromarray((dist * 1e3).astype(np.uint16)).save(
-        os.path.join(sdir, "layout", view, "layout_distance.png"))
+        os.path.join(sdir, "layout", view, "layout_distance_map.png"))
 
     # PanoAnnotator label JSON (IOTool.loadLabelByJson surface)
     os.makedirs(os.path.join(anno, "label_data"), exist_ok=True)
