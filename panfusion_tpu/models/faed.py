@@ -290,7 +290,8 @@ class FAED:
         cfg = self.cfg
         # FAED trains on the pano alone: skip the loader's m perspective
         # crops (its dominant cost)
-        datamodule.hparams.load_images = False
+        if hasattr(datamodule, "hparams"):
+            datamodule.hparams.load_images = False
         datamodule.setup("fit")
         loader = datamodule.train_dataloader()
         variables = self.init_params(jax.random.PRNGKey(getattr(args, "seed", 0)))

@@ -341,7 +341,8 @@ class HorizonNet:
         cfg = self.cfg
         # HorizonNet trains on pano + horizon targets: skip the loader's
         # m perspective crops (its dominant cost)
-        datamodule.hparams.load_images = False
+        if hasattr(datamodule, "hparams"):
+            datamodule.hparams.load_images = False
         datamodule.setup("fit")
         loader = datamodule.train_dataloader()
         sample = next(iter(loader))

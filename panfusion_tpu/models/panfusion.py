@@ -40,6 +40,17 @@ from .prompts import PromptConfig, get_pano_prompt, get_pers_prompt
 
 
 
+def _as_channel_values(v):
+    """Scalar, tuple, or 'a,b,c,d' string -> float or float tuple (hashable,
+    so it can live on a flax Module attribute)."""
+    if isinstance(v, str):
+        parts = [float(p) for p in v.split(",") if p.strip()]
+        return parts[0] if len(parts) == 1 else tuple(parts)
+    if isinstance(v, (list, tuple)):
+        return tuple(float(x) for x in v)
+    return float(v)
+
+
 def default_cameras(num_views: int):
     """Evaluation camera set: the fixed icosahedron-20 (reference
     dataset/PanoDataset.py:99-103); for non-20 view counts (tiny test
@@ -73,6 +84,12 @@ class PanFusionConfig:
     pers_layout_cond: bool = False
     use_pers_branch: bool = True
     prompt: PromptConfig = dataclasses.field(default_factory=PromptConfig)
+    # latent normalization the diffusion model trains in: z' = (z-shift)*scale.
+    # Defaults are the SD2 convention (scaling_factor 0.18215, no shift —
+    # reference PanoGenerator.py:213-225); from-scratch VAEs calibrate these
+    # from data (tools/calibrate_latents.py), scalar or per-channel.
+    latent_scale: Any = None  # None -> SD_VAE_SCALING_FACTOR
+    latent_shift: Any = None  # None -> 0.0
     # numerics
     dtype: Any = jnp.float32
     # architecture overrides (tiny configs for tests/dryruns)
@@ -148,7 +165,14 @@ class PanFusion:
             dtype=config.dtype,
             **unet_kwargs,
         )
-        self.vae = AutoencoderKL(dtype=config.dtype, **(config.vae_kwargs or {}))
+        vae_norm = {}
+        if config.latent_scale is not None:
+            vae_norm["latent_scale"] = _as_channel_values(config.latent_scale)
+        if config.latent_shift is not None:
+            vae_norm["latent_shift"] = _as_channel_values(config.latent_shift)
+        self.vae = AutoencoderKL(
+            dtype=config.dtype, **{**vae_norm, **(config.vae_kwargs or {})}
+        )
         self.text_encoder = CLIPTextModel(dtype=config.dtype, **(config.text_kwargs or {}))
         self.tokenizer = load_tokenizer()
         self.schedule = make_ddim_schedule(config.diff_timestep)

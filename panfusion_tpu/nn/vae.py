@@ -97,12 +97,23 @@ class Decoder(nn.Module):
 
 
 class AutoencoderKL(nn.Module):
-    """encode -> (mean, logvar); decode(latent) -> image. NHWC."""
+    """encode -> (mean, logvar); decode(latent) -> image. NHWC.
+
+    latent_scale / latent_shift normalize the latent space the diffusion
+    model sees: z' = (z - shift) * scale, decode inverts it. The defaults
+    reproduce the SD convention (scale = scaling_factor 0.18215, shift 0 —
+    reference PanoGenerator.py:213-225). For a from-scratch VAE the SD
+    constant is wrong — 0.18215 is 1/std of *SD's* latents — so training
+    recipes calibrate these from data (tools/calibrate_latents.py);
+    per-channel tuples are accepted and broadcast over NHWC.
+    """
 
     block_out_channels: Sequence[int] = (128, 256, 512, 512)
     layers_per_block: int = 2
     latent_channels: int = 4
     dtype: jnp.dtype = jnp.float32
+    latent_scale: Sequence[float] | float = SD_VAE_SCALING_FACTOR
+    latent_shift: Sequence[float] | float = 0.0
 
     def setup(self):
         self.encoder = Encoder(
@@ -119,16 +130,23 @@ class AutoencoderKL(nn.Module):
         mean, logvar = jnp.split(moments, 2, axis=-1)
         return mean, jnp.clip(logvar, -30.0, 20.0)
 
+    def _scale_shift(self, dtype):
+        scale = jnp.asarray(self.latent_scale, dtype)
+        shift = jnp.asarray(self.latent_shift, dtype)
+        return scale, shift
+
     def sample_latent(self, x, rng):
-        """Sample from the posterior and apply the SD scaling factor
-        (reference encode_image, PanoGenerator.py:213-225)."""
+        """Sample from the posterior and normalize with the latent
+        scale/shift (reference encode_image, PanoGenerator.py:213-225)."""
         mean, logvar = self.encode(x)
         std = jnp.exp(0.5 * logvar)
         z = mean + std * jax.random.normal(rng, mean.shape, mean.dtype)
-        return z * SD_VAE_SCALING_FACTOR
+        scale, shift = self._scale_shift(z.dtype)
+        return (z - shift) * scale
 
     def decode(self, z):
-        return self.decoder(z / SD_VAE_SCALING_FACTOR)
+        scale, shift = self._scale_shift(z.dtype)
+        return self.decoder(z / scale + shift)
 
     def __call__(self, x, rng):
         z = self.sample_latent(x, rng)

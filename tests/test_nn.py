@@ -222,6 +222,56 @@ def test_vae_roundtrip_shapes():
     assert img.shape == (1, 32, 64, 3)
 
 
+def test_vae_latent_normalization_cancels_in_roundtrip():
+    """Custom latent_scale/shift change the latent the diffusion model sees
+    (z' = (z-shift)*scale) but must cancel exactly through decode — and the
+    default module must keep the SD convention (scale 0.18215, shift 0)."""
+    import numpy as np
+
+    kw = dict(block_out_channels=(8, 16, 16, 16))
+    vae_sd = AutoencoderKL(**kw)
+    vae_cal = AutoencoderKL(
+        **kw, latent_scale=(2.0, 0.5, 1.0, 4.0), latent_shift=(0.1, -0.2, 0.0, 1.0)
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 64, 3))
+    rng = jax.random.PRNGKey(0)
+    params = vae_sd.init(rng, x, rng)
+
+    z_sd = vae_sd.apply(params, x, rng, method=vae_sd.sample_latent)
+    z_cal = vae_cal.apply(params, x, rng, method=vae_cal.sample_latent)
+    # same raw posterior sample, different normalization
+    raw = z_sd / 0.18215
+    scale = jnp.asarray([2.0, 0.5, 1.0, 4.0])
+    shift = jnp.asarray([0.1, -0.2, 0.0, 1.0])
+    np.testing.assert_allclose(
+        np.asarray(z_cal), np.asarray((raw - shift) * scale), rtol=1e-5, atol=1e-5
+    )
+    # decode inverts each module's own normalization: identical pixels out
+    img_sd = vae_sd.apply(params, z_sd, method=vae_sd.decode)
+    img_cal = vae_cal.apply(params, z_cal, method=vae_cal.decode)
+    np.testing.assert_allclose(
+        np.asarray(img_sd), np.asarray(img_cal), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_panfusion_config_latent_normalization_plumbs_to_vae():
+    from panfusion_tpu.models.panfusion import PanFusion, PanFusionConfig
+
+    cfg = PanFusionConfig(
+        preset="tiny", pano_height=64, pers_resolution=32, num_views=2,
+        latent_scale="2.0,0.5,1.0,4.0", latent_shift="0.1,-0.2,0.0,1.0",
+    )
+    model = PanFusion(cfg)
+    assert model.vae.latent_scale == (2.0, 0.5, 1.0, 4.0)
+    assert model.vae.latent_shift == (0.1, -0.2, 0.0, 1.0)
+    # default keeps SD parity
+    cfg2 = PanFusionConfig(preset="tiny", pano_height=64, pers_resolution=32,
+                           num_views=2)
+    from panfusion_tpu.nn.vae import SD_VAE_SCALING_FACTOR
+
+    assert PanFusion(cfg2).vae.latent_scale == SD_VAE_SCALING_FACTOR
+
+
 # ------------------------------------------------------------- CLIP
 def test_clip_text_shapes():
     model = CLIPTextModel(

@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Calibrate VAE latent normalization (scale/shift) from data.
+
+SD's scaling_factor 0.18215 is 1/std of *its* VAE's latents; a from-scratch
+VAE has different statistics, and training the diffusion model on latents
+with std << 1 (or an off-center mean) buries the signal under the unit-
+variance noise at every timestep — eps-loss still converges, but sampling
+produces noise (diagnosed on the synthetic-rooms demo run: post-0.18215
+latents had std 0.52, mean -0.49).
+
+Encodes a few train batches with the RAW posterior (no normalization) and
+prints per-channel mean/std plus ready-to-paste CLI overrides:
+  --model.latent_shift=<means> --model.latent_scale=<1/stds>
+
+Usage:
+  python tools/calibrate_latents.py --ckpt logs/synpano_vae/checkpoints/last \
+      --data_dir data/SyntheticRooms --pano_height 256 [--batches 8]
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--data_dir", default="data/SyntheticRooms")
+    ap.add_argument("--pano_height", type=int, default=256)
+    ap.add_argument("--pers_resolution", type=int, default=128)
+    ap.add_argument("--num_views", type=int, default=8)
+    ap.add_argument("--preset", default="demo")
+    ap.add_argument("--cam_sampler", default="horizon")
+    ap.add_argument("--batches", type=int, default=8)
+    ap.add_argument("--batch_size", type=int, default=4)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force XLA:CPU (fast enough for statistics; avoids "
+                    "slow tunneled-chip compiles and leaves the chip free)")
+    args = ap.parse_args()
+
+    import panfusion_tpu
+
+    panfusion_tpu.enable_compilation_cache()
+    import jax
+
+    if args.cpu:
+        # env vars alone are overridden by the axon sitecustomize hook;
+        # pin the platform via config after import (same trick as
+        # tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from panfusion_tpu.data import Matterport3D
+    from panfusion_tpu.models import PanFusion
+    from panfusion_tpu.models.panfusion import PanFusionConfig, cast_params
+
+    cfg = PanFusionConfig(
+        preset=args.preset, num_views=args.num_views,
+        pano_height=args.pano_height, pers_resolution=args.pers_resolution,
+    )
+    model = PanFusion(cfg)
+    params = cast_params(model.load_or_init_params(args.ckpt), cfg.dtype)
+
+    dm = Matterport3D(
+        data_dir=args.data_dir, pano_height=args.pano_height,
+        pers_resolution=args.pers_resolution, cam_sampler=args.cam_sampler,
+        batch_size=args.batch_size, num_workers=0,
+    )
+    dm.setup("fit")
+
+    @jax.jit
+    def raw_sample(vae_params, x, rng):
+        mean, logvar = model.vae.apply(vae_params, x, method=model.vae.encode)
+        std = jnp.exp(0.5 * logvar)
+        return mean + std * jax.random.normal(rng, mean.shape, mean.dtype)
+
+    rng = jax.random.PRNGKey(0)
+    n = 0
+    s1 = None
+    s2 = None
+    for bi, batch in enumerate(dm.train_dataloader()):
+        if bi >= args.batches:
+            break
+        imgs = [jnp.asarray(batch["pano"][:, 0])]
+        if "images" in batch:
+            v = jnp.asarray(batch["images"])
+            imgs.append(v.reshape(-1, *v.shape[2:]))
+        for x in imgs:
+            rng, sub = jax.random.split(rng)
+            z = np.asarray(raw_sample(params["vae"], x, sub), np.float64)
+            flat = z.reshape(-1, z.shape[-1])
+            if s1 is None:
+                s1 = flat.sum(0)
+                s2 = (flat**2).sum(0)
+            else:
+                s1 += flat.sum(0)
+                s2 += (flat**2).sum(0)
+            n += flat.shape[0]
+    mean = s1 / n
+    std = np.sqrt(np.maximum(s2 / n - mean**2, 1e-12))
+    print(f"raw latent mean per channel: {mean}")
+    print(f"raw latent std  per channel: {std}")
+    shift = ",".join(f"{m:.4f}" for m in mean)
+    scale = ",".join(f"{1.0 / s:.4f}" for s in std)
+    print("\nCLI overrides for the diffusion fit:")
+    print(f"  --model.latent_shift={shift} --model.latent_scale={scale}")
+
+
+if __name__ == "__main__":
+    main()
