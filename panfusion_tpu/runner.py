@@ -43,6 +43,37 @@ def _device_batch(model: PanFusion, params, batch: Dict):
     return out
 
 
+def _check_latent_stats(model, state, loader, tol_std=(0.5, 2.0), tol_mean=0.5):
+    """One-batch sanity check that the diffusion model trains against
+    ~N(0,1) latents. A mis-calibrated latent_scale/latent_shift (e.g. the
+    SD2 constant applied to a from-scratch VAE) buries the signal under the
+    unit-variance noise: the eps-loss still converges but every sampled
+    image stays noise. Cost: one VAE-encode compile at fit startup."""
+    try:
+        batch = next(iter(loader))
+        if "pano" not in batch:
+            return
+        from .train.params import merge_params
+
+        params = merge_params(state.trainable, state.frozen)
+        z = model.encode_pano(
+            params, jnp.asarray(batch["pano"][:, 0]), jax.random.PRNGKey(0)
+        )
+        z = np.asarray(z.astype(jnp.float32))
+        std, mean = float(z.std()), float(z.mean())
+        if not (tol_std[0] <= std <= tol_std[1]) or abs(mean) > tol_mean:
+            print(
+                f"WARNING: encoded latents are far from N(0,1) "
+                f"(std={std:.3f}, mean={mean:.3f}) — the diffusion model "
+                f"will train at the wrong SNR. Calibrate "
+                f"--model.latent_scale/--model.latent_shift with "
+                f"tools/calibrate_latents.py (SD's 0.18215 only fits SD's "
+                f"own VAE)."
+            )
+    except Exception as exc:  # diagnostics must never kill fit
+        print(f"latent-stats check skipped: {exc}")
+
+
 def fit(
     model: PanFusion,
     datamodule,
@@ -132,6 +163,7 @@ def fit(
         step_fn = make_train_step(model, opt, make_vae_loss_fn(model))
     else:
         step_fn = make_train_step(model, opt)
+        _check_latent_stats(model, state, loader)
     rng = jax.random.PRNGKey(seed + 1)
     step = int(state.step)
     start_epoch = step // train_cfg.steps_per_epoch

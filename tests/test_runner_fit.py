@@ -149,3 +149,44 @@ def test_fit_vae_recon_objective(tiny_model, tmp_path):
     rows = [json.loads(l) for l in open(metrics_path)]
     recon = [r["train/recon_pano"] for r in rows if "train/recon_pano" in r]
     assert recon, rows
+
+
+def test_latent_stats_warning(tiny_model, capsys):
+    """A random-init VAE under the SD2 scaling factor produces latents far
+    from N(0,1); the fit-startup check must warn and point to the
+    calibration tool (the silent failure mode: eps-loss converges, samples
+    stay noise)."""
+    import types
+
+    import jax
+
+    from panfusion_tpu.runner import _check_latent_stats
+
+    params = tiny_model.init_params(jax.random.PRNGKey(0))
+    state = types.SimpleNamespace(trainable={}, frozen=params)
+    batch = {"pano": np.random.default_rng(0)
+             .normal(size=(1, 1, 64, 128, 3)).astype(np.float32)}
+    _check_latent_stats(tiny_model, state, [batch])
+    out = capsys.readouterr().out
+    assert "calibrate_latents" in out, out
+
+    # and a well-normalized latent space stays silent: invert the measured
+    # stats and re-check
+    import jax.numpy as jnp
+
+    z = tiny_model.encode_pano(params, jnp.asarray(batch["pano"][:, 0]),
+                               jax.random.PRNGKey(0))
+    z = np.asarray(z.astype(jnp.float32))
+    import dataclasses
+
+    cfg2 = dataclasses.replace(
+        tiny_model.cfg,
+        latent_scale=float(0.18215 / z.std()),
+        latent_shift=float(z.mean() / 0.18215),
+    )
+    from panfusion_tpu.models.panfusion import PanFusion
+
+    model2 = PanFusion(cfg2)
+    _check_latent_stats(model2, state, [batch])
+    out2 = capsys.readouterr().out
+    assert "WARNING" not in out2, out2
