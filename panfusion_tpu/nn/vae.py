@@ -130,23 +130,27 @@ class AutoencoderKL(nn.Module):
         mean, logvar = jnp.split(moments, 2, axis=-1)
         return mean, jnp.clip(logvar, -30.0, 20.0)
 
-    def _scale_shift(self, dtype):
-        scale = jnp.asarray(self.latent_scale, dtype)
-        shift = jnp.asarray(self.latent_shift, dtype)
-        return scale, shift
+    def _has_shift(self):
+        s = self.latent_shift
+        return any(float(v) != 0.0 for v in (s if isinstance(s, (tuple, list)) else (s,)))
 
     def sample_latent(self, x, rng):
         """Sample from the posterior and normalize with the latent
-        scale/shift (reference encode_image, PanoGenerator.py:213-225)."""
+        scale/shift (reference encode_image, PanoGenerator.py:213-225).
+        The shift subtraction is skipped at trace time when zero so the
+        default graph stays bit-identical to the SD z*0.18215 convention."""
         mean, logvar = self.encode(x)
         std = jnp.exp(0.5 * logvar)
         z = mean + std * jax.random.normal(rng, mean.shape, mean.dtype)
-        scale, shift = self._scale_shift(z.dtype)
-        return (z - shift) * scale
+        if self._has_shift():
+            z = z - jnp.asarray(self.latent_shift, z.dtype)
+        return z * jnp.asarray(self.latent_scale, z.dtype)
 
     def decode(self, z):
-        scale, shift = self._scale_shift(z.dtype)
-        return self.decoder(z / scale + shift)
+        z = z / jnp.asarray(self.latent_scale, z.dtype)
+        if self._has_shift():
+            z = z + jnp.asarray(self.latent_shift, z.dtype)
+        return self.decoder(z)
 
     def __call__(self, x, rng):
         z = self.sample_latent(x, rng)
