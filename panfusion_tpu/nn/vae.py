@@ -124,32 +124,45 @@ class AutoencoderKL(nn.Module):
             self.block_out_channels, self.layers_per_block, self.latent_channels,
             dtype=self.dtype, name="decoder",
         )
+        # The normalization RIDES IN THE CHECKPOINT as a (non-trainable)
+        # variable collection, initialized from the static attributes: a
+        # fit run calibrated via CLI flags saves its scale/shift, and a
+        # later predict/test restores them without re-passing the flags —
+        # otherwise a silently mismatched normalization between fit and
+        # predict decodes garbage while every loss looks healthy.
+        c = (self.latent_channels,)
+        self._scale_var = self.variable(
+            "latent_norm", "scale",
+            lambda: jnp.broadcast_to(
+                jnp.asarray(self.latent_scale, jnp.float32), c
+            ),
+        )
+        self._shift_var = self.variable(
+            "latent_norm", "shift",
+            lambda: jnp.broadcast_to(
+                jnp.asarray(self.latent_shift, jnp.float32), c
+            ),
+        )
 
     def encode(self, x):
         moments = self.encoder(x)
         mean, logvar = jnp.split(moments, 2, axis=-1)
         return mean, jnp.clip(logvar, -30.0, 20.0)
 
-    def _has_shift(self):
-        s = self.latent_shift
-        return any(float(v) != 0.0 for v in (s if isinstance(s, (tuple, list)) else (s,)))
-
     def sample_latent(self, x, rng):
         """Sample from the posterior and normalize with the latent
-        scale/shift (reference encode_image, PanoGenerator.py:213-225).
-        The shift subtraction is skipped at trace time when zero so the
-        default graph stays bit-identical to the SD z*0.18215 convention."""
+        scale/shift (reference encode_image, PanoGenerator.py:213-225):
+        z' = (z - shift) * scale. With the default shift 0 this is exactly
+        the SD z*0.18215 convention (x - 0.0 == x bitwise for floats)."""
         mean, logvar = self.encode(x)
         std = jnp.exp(0.5 * logvar)
         z = mean + std * jax.random.normal(rng, mean.shape, mean.dtype)
-        if self._has_shift():
-            z = z - jnp.asarray(self.latent_shift, z.dtype)
-        return z * jnp.asarray(self.latent_scale, z.dtype)
+        z = z - self._shift_var.value.astype(z.dtype)
+        return z * self._scale_var.value.astype(z.dtype)
 
     def decode(self, z):
-        z = z / jnp.asarray(self.latent_scale, z.dtype)
-        if self._has_shift():
-            z = z + jnp.asarray(self.latent_shift, z.dtype)
+        z = z / self._scale_var.value.astype(z.dtype)
+        z = z + self._shift_var.value.astype(z.dtype)
         return self.decoder(z)
 
     def __call__(self, x, rng):

@@ -125,8 +125,16 @@ def _rebuild_like(target, restored):
             for f in target._fields
         ))
     if isinstance(target, Mapping):
+        # forward compatibility: a checkpoint written before a new variable
+        # collection existed (e.g. vae/latent_norm) keeps the target's
+        # init values for the missing keys instead of KeyErroring the resume
+        for k in target:
+            if k not in restored:
+                print(f"checkpoint restore: '{k}' absent in saved tree, "
+                      f"keeping initialized value")
         return type(target)(
-            {k: _rebuild_like(v, restored[k]) for k, v in target.items()}
+            {k: _rebuild_like(v, restored[k]) if k in restored else v
+             for k, v in target.items()}
         )
     if isinstance(target, (list, tuple)):
         return type(target)(

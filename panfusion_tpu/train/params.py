@@ -35,8 +35,11 @@ def full_dual_trainable(path: Tuple[str, ...]) -> bool:
 
 def vae_trainable(path: Tuple[str, ...]) -> bool:
     """First-stage recon pretrain (--trainer.objective=vae_recon): only the
-    AutoencoderKL trains; everything else is frozen ballast."""
-    return path[0] == "vae"
+    AutoencoderKL trains; everything else is frozen ballast. The latent_norm
+    calibration variables are data statistics, not weights — leaving them
+    in the AdamW group would weight-decay them toward zero on every step
+    despite their zero gradient (the recon loss bypasses normalization)."""
+    return path[0] == "vae" and "latent_norm" not in path
 
 
 def controlnet_trainable(path: Tuple[str, ...]) -> bool:

@@ -225,7 +225,9 @@ def test_vae_roundtrip_shapes():
 def test_vae_latent_normalization_cancels_in_roundtrip():
     """Custom latent_scale/shift change the latent the diffusion model sees
     (z' = (z-shift)*scale) but must cancel exactly through decode — and the
-    default module must keep the SD convention (scale 0.18215, shift 0)."""
+    default module must keep the SD convention (scale 0.18215, shift 0).
+    The values live in the 'latent_norm' variable collection (initialized
+    from the module attributes) so checkpoints carry the calibration."""
     import numpy as np
 
     kw = dict(block_out_channels=(8, 16, 16, 16))
@@ -235,10 +237,16 @@ def test_vae_latent_normalization_cancels_in_roundtrip():
     )
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 64, 3))
     rng = jax.random.PRNGKey(0)
-    params = vae_sd.init(rng, x, rng)
+    vars_sd = vae_sd.init(rng, x, rng)
+    assert set(vars_sd) == {"params", "latent_norm"}
+    np.testing.assert_allclose(np.asarray(vars_sd["latent_norm"]["scale"]),
+                               0.18215)
+    # same weights, calibrated normalization variables
+    vars_cal = {"params": vars_sd["params"],
+                "latent_norm": vae_cal.init(rng, x, rng)["latent_norm"]}
 
-    z_sd = vae_sd.apply(params, x, rng, method=vae_sd.sample_latent)
-    z_cal = vae_cal.apply(params, x, rng, method=vae_cal.sample_latent)
+    z_sd = vae_sd.apply(vars_sd, x, rng, method=vae_sd.sample_latent)
+    z_cal = vae_cal.apply(vars_cal, x, rng, method=vae_cal.sample_latent)
     # same raw posterior sample, different normalization
     raw = z_sd / 0.18215
     scale = jnp.asarray([2.0, 0.5, 1.0, 4.0])
@@ -246,9 +254,9 @@ def test_vae_latent_normalization_cancels_in_roundtrip():
     np.testing.assert_allclose(
         np.asarray(z_cal), np.asarray((raw - shift) * scale), rtol=1e-5, atol=1e-5
     )
-    # decode inverts each module's own normalization: identical pixels out
-    img_sd = vae_sd.apply(params, z_sd, method=vae_sd.decode)
-    img_cal = vae_cal.apply(params, z_cal, method=vae_cal.decode)
+    # decode inverts each tree's own normalization: identical pixels out
+    img_sd = vae_sd.apply(vars_sd, z_sd, method=vae_sd.decode)
+    img_cal = vae_cal.apply(vars_cal, z_cal, method=vae_cal.decode)
     np.testing.assert_allclose(
         np.asarray(img_sd), np.asarray(img_cal), rtol=1e-4, atol=1e-4
     )
@@ -270,6 +278,42 @@ def test_panfusion_config_latent_normalization_plumbs_to_vae():
     from panfusion_tpu.nn.vae import SD_VAE_SCALING_FACTOR
 
     assert PanFusion(cfg2).vae.latent_scale == SD_VAE_SCALING_FACTOR
+
+
+def test_latent_calibration_rides_the_checkpoint(tmp_path):
+    """fit-with-flags -> checkpoint -> load WITHOUT flags must restore the
+    calibrated normalization (the silent-garbage footgun: predict with a
+    different normalization than fit decodes noise while all losses look
+    fine). Old checkpoints without the collection keep the init defaults."""
+    import numpy as np
+
+    from panfusion_tpu.models.panfusion import PanFusion, PanFusionConfig
+    from panfusion_tpu.train.checkpoints import CheckpointManager
+
+    tiny = dict(
+        preset="tiny", pano_height=64, pers_resolution=32, num_views=2,
+        latent_pad=1,
+    )
+    cfg_fit = PanFusionConfig(**tiny, latent_scale="0.4,0.5,0.3,0.4",
+                              latent_shift="-2.0,-3.3,-0.3,-4.9")
+    model_fit = PanFusion(cfg_fit)
+    params = model_fit.init_params(jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        np.asarray(params["vae"]["latent_norm"]["shift"]),
+        [-2.0, -3.3, -0.3, -4.9], rtol=1e-6)
+    ckpt = CheckpointManager(str(tmp_path / "ck"))
+    ckpt.save(params, "last")
+
+    # predict-side load with NO flags: defaults in config, calibration
+    # restored from the checkpoint
+    model_pred = PanFusion(PanFusionConfig(**tiny))
+    restored = model_pred.load_or_init_params(str(tmp_path / "ck" / "last"))
+    np.testing.assert_allclose(
+        np.asarray(restored["vae"]["latent_norm"]["shift"]),
+        [-2.0, -3.3, -0.3, -4.9], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(restored["vae"]["latent_norm"]["scale"]),
+        [0.4, 0.5, 0.3, 0.4], rtol=1e-6)
 
 
 # ------------------------------------------------------------- CLIP

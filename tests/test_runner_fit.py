@@ -129,13 +129,16 @@ def test_fit_vae_recon_objective(tiny_model, tmp_path):
     init = tiny_model.init_params(jax.random.PRNGKey(0))
     state = fit(tiny_model, dm, tc, logger, max_steps=12, seed=0)
 
-    # only the VAE is trainable
+    # only the VAE weights are trainable; the latent_norm calibration
+    # variables stay frozen (AdamW weight decay would corrupt the data
+    # statistics despite zero gradients)
     assert set(state.trainable) == {"vae"}
-    assert "vae" not in state.frozen
+    assert set(state.frozen["vae"]) == {"latent_norm"}, state.frozen.get("vae")
 
     # the trained VAE moved away from init
-    leaves0 = jax.tree.leaves(init["vae"])
-    leaves1 = jax.tree.leaves(state.trainable["vae"])
+    leaves0 = jax.tree.leaves(init["vae"]["params"])
+    leaves1 = jax.tree.leaves(state.trainable["vae"]["params"])
+    assert len(leaves0) == len(leaves1)
     moved = sum(
         float(np.abs(np.asarray(a) - np.asarray(b)).max())
         for a, b in zip(leaves0, leaves1)
@@ -187,6 +190,10 @@ def test_latent_stats_warning(tiny_model, capsys):
     from panfusion_tpu.models.panfusion import PanFusion
 
     model2 = PanFusion(cfg2)
-    _check_latent_stats(model2, state, [batch])
+    # the calibration lives in the latent_norm VARIABLES, so re-init: the
+    # first model's params carry the SD defaults, not cfg2's values
+    params2 = model2.init_params(jax.random.PRNGKey(0))
+    state2 = types.SimpleNamespace(trainable={}, frozen=params2)
+    _check_latent_stats(model2, state2, [batch])
     out2 = capsys.readouterr().out
     assert "WARNING" not in out2, out2
