@@ -98,8 +98,27 @@ def fit(
         if loaded is None:
             print(f"WARNING: warm-start checkpoint {warm_start} not found")
         else:
+            # explicit CLI calibration must survive the merge: the loaded
+            # checkpoint carries its own vae/latent_norm (possibly the SD
+            # defaults from a stage-0 recon pretrain), and silently letting
+            # it clobber freshly calibrated --model.latent_scale/shift
+            # re-creates the wrong-SNR footgun the flags exist to fix.
+            # None means "not specified" -> the checkpoint's values win.
+            cfg = getattr(model, "cfg", None)
+            init_norm = dict(params.get("vae", {}).get("latent_norm", {}))
             for tree in _param_trees_of_checkpoint(loaded):
                 params = warm_start_params(params, tree)
+            keep = [k for k, explicit in (
+                ("scale", cfg is not None and cfg.latent_scale is not None),
+                ("shift", cfg is not None and cfg.latent_shift is not None),
+            ) if explicit and k in init_norm]
+            if keep:
+                norm = dict(params["vae"]["latent_norm"])
+                for k in keep:
+                    norm[k] = init_norm[k]
+                params["vae"] = {**params["vae"], "latent_norm": norm}
+                print(f"warm start: keeping configured latent_norm {keep} "
+                      "over the checkpoint's values")
     datamodule.prepare_data()
     datamodule.setup("fit")
     loader = datamodule.train_dataloader()
@@ -197,6 +216,11 @@ def fit(
             ckpt.maybe_save(state)
             if max_steps is not None and step >= max_steps:
                 ckpt.save(state)
+                if step % 10 != 0:
+                    # short drives (max_steps < the 10-step log interval)
+                    # must still leave loss evidence in metrics.jsonl
+                    logger.log({f"train/{k}": float(v)
+                                for k, v in metrics.items()}, step)
                 return state
         ckpt.save(state)
         logger.log({"epoch": epoch}, step)
