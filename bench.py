@@ -13,10 +13,37 @@ pipeline of models/pano/PanFusion.py:125-182) — see BASELINE.md for the
 derivation; the number to watch across rounds is `value`.
 """
 import json
+import os
 import sys
 import time
 
 A100_REFERENCE_PANOS_PER_MIN = 1.5
+
+# Watchdog: the tunneled chip can wedge (jax device init then blocks
+# forever in C with the GIL held — observed 2026-08-18 — so in-process
+# SIGALRM/thread watchdogs never run). A hung bench is worse than a
+# failed one: run the measurement in a child process and time it out
+# loudly from the parent. 45 min >> cold-compile (~10 min) + runs.
+WATCHDOG_SECS = int(os.environ.get("PANFUSION_BENCH_TIMEOUT", 2700))
+
+
+def _supervise() -> int:
+    import subprocess
+
+    env = dict(os.environ, PANFUSION_BENCH_CHILD="1")
+    try:
+        return subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            timeout=WATCHDOG_SECS,
+        ).returncode
+    except subprocess.TimeoutExpired:
+        print(json.dumps({
+            "metric": "panos/min/chip (512x1024, 50-step dual-branch)",
+            "value": None, "unit": "panos/min", "vs_baseline": None,
+            "error": f"bench watchdog: no result within {WATCHDOG_SECS}s "
+                     "(TPU tunnel unreachable or wedged)",
+        }))
+        return 1
 
 
 def main():
@@ -61,4 +88,6 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    if os.environ.get("PANFUSION_BENCH_CHILD"):
+        sys.exit(main())
+    sys.exit(_supervise())
