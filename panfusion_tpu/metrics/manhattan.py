@@ -12,9 +12,11 @@ cuboid fallback, and (4) reprojecting corners to equirect pixels.
 This stays host-side by design (SURVEY.md §7.4 item 7): it is data-dependent
 control flow over tiny 1-D arrays, the wrong shape for XLA.
 
-Divergence (documented): polygon IoU is computed by high-resolution
-rasterization instead of shapely/GEOS (not in this environment); error is
-O(1e-3) at the 2048^2 grid used, far below metric noise.
+Polygon IoU (reference: shapely/GEOS, models/horizonnet/HorizonNet.py:219-242;
+GEOS is not in this environment) is computed EXACTLY via signed fan
+triangulation + convex clipping (polygon_intersection_area) — same value as
+GEOS to float precision. A rasterized estimator is kept as an independent
+cross-check (polygon_iou_2d).
 """
 from __future__ import annotations
 
@@ -358,6 +360,67 @@ def polygon_area(poly: np.ndarray) -> float:
     return 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
 
 
+def _clip_by_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman: clip `subject` (any polygon) by CCW-convex
+    `clip`. Returns the clipped vertex loop ((k,2), possibly empty)."""
+    out = list(subject)
+    n = len(clip)
+    for i in range(n):
+        if not out:
+            break
+        a, b = clip[i], clip[(i + 1) % n]
+        ex, ey = b[0] - a[0], b[1] - a[1]
+        pts, out = out, []
+        prev = pts[-1]
+        prev_in = ex * (prev[1] - a[1]) - ey * (prev[0] - a[0]) >= 0
+        for cur in pts:
+            cur_in = ex * (cur[1] - a[1]) - ey * (cur[0] - a[0]) >= 0
+            if cur_in != prev_in:
+                dx, dy = cur[0] - prev[0], cur[1] - prev[1]
+                denom = ex * dy - ey * dx
+                if denom != 0:
+                    t = (ex * (a[1] - prev[1]) - ey * (a[0] - prev[0])) / denom
+                    out.append((prev[0] + t * dx, prev[1] + t * dy))
+            if cur_in:
+                out.append(tuple(cur))
+            prev, prev_in = cur, cur_in
+    return np.asarray(out, np.float64).reshape(-1, 2)
+
+
+def _signed_fan(poly: np.ndarray):
+    """Signed fan triangulation from vertex 0: yields (sign, ccw_triangle)
+    with 1_poly == sum(sign * 1_triangle) a.e. for any simple polygon."""
+    p0 = poly[0]
+    for i in range(1, len(poly) - 1):
+        t = np.asarray([p0, poly[i], poly[i + 1]], np.float64)
+        two_a = ((t[1, 0] - t[0, 0]) * (t[2, 1] - t[0, 1])
+                 - (t[1, 1] - t[0, 1]) * (t[2, 0] - t[0, 0]))
+        if two_a == 0.0:
+            continue
+        yield (1.0 if two_a > 0 else -1.0), (t if two_a > 0 else t[::-1])
+
+
+def polygon_intersection_area(poly_a: np.ndarray,
+                              poly_b: np.ndarray) -> float:
+    """Exact area(A ∩ B) for simple polygons (GEOS-equivalent; replaces
+    the round-1 rasterized estimate): decompose both into signed fan
+    triangles, then area(A∩B) = Σ_ij s_i s_j area(T_i ∩ T_j), each
+    triangle pair clipped exactly (triangles are convex)."""
+    area = 0.0
+    fan_b = list(_signed_fan(np.asarray(poly_b, np.float64)))
+    for sa, ta in _signed_fan(np.asarray(poly_a, np.float64)):
+        for sb, tb in fan_b:
+            inter = _clip_by_convex(ta, tb)
+            if len(inter) >= 3:
+                area += sa * sb * polygon_area_signed(inter)
+    return abs(area)
+
+
+def polygon_area_signed(poly: np.ndarray) -> float:
+    x, y = poly[:, 0], poly[:, 1]
+    return 0.5 * (np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
 def _rasterize(poly: np.ndarray, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
     """Vectorized even-odd point-in-polygon over a grid."""
     gx, gy = np.meshgrid(xs, ys)
@@ -375,7 +438,9 @@ def _rasterize(poly: np.ndarray, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
 
 def polygon_iou_2d(poly_a: np.ndarray, poly_b: np.ndarray,
                    grid: int = 2048) -> Tuple[float, float]:
-    """(intersection area, IoU) by rasterization over the joint bbox."""
+    """(intersection area, IoU) by rasterization over the joint bbox.
+    Kept as an independent O(1/grid) cross-check of the exact
+    polygon_intersection_area path (tests/test_layout_eval.py)."""
     both = np.concatenate([poly_a, poly_b], axis=0)
     lo, hi = both.min(axis=0) - 1e-6, both.max(axis=0) + 1e-6
     xs = np.linspace(lo[0], hi[0], grid)
@@ -404,7 +469,7 @@ def eval_layout_iou(dt_cor_id: np.ndarray, gt_cor_id: np.ndarray):
     try:
         area_dt = polygon_area(dt_xy)
         area_gt = polygon_area(gt_xy)
-        area_inter, iou2d = polygon_iou_2d(dt_xy, gt_xy)
+        area_inter = polygon_intersection_area(dt_xy, gt_xy)
         iou2d = area_inter / (area_gt + area_dt - area_inter)
     except Exception:
         return 0.0, 0.0

@@ -95,3 +95,70 @@ class TestCuboidEval:
         with pytest.raises(AssertionError):
             eval_cuboid_layout(_cuboid_corners(n_walls=6),
                                _cuboid_corners(n_walls=6), W, H)
+
+
+class TestExactPolygonIntersection:
+    """polygon_intersection_area is the GEOS replacement (exact, float
+    precision); the rasterized polygon_iou_2d is the independent
+    O(1/grid) cross-check."""
+
+    def test_rect_rect_known_value(self):
+        from panfusion_tpu.metrics.manhattan import polygon_intersection_area
+        a = np.array([[0, 0], [4, 0], [4, 3], [0, 3]], np.float64)
+        b = np.array([[2, 1], [6, 1], [6, 5], [2, 5]], np.float64)
+        assert polygon_intersection_area(a, b) == pytest.approx(4.0, abs=1e-12)
+
+    def test_disjoint_is_zero(self):
+        from panfusion_tpu.metrics.manhattan import polygon_intersection_area
+        a = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float64)
+        b = a + 5.0
+        assert polygon_intersection_area(a, b) == pytest.approx(0.0, abs=1e-12)
+
+    def test_contained_is_inner_area(self):
+        from panfusion_tpu.metrics.manhattan import polygon_intersection_area
+        outer = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], np.float64)
+        inner = np.array([[2, 2], [5, 2], [5, 6], [2, 6]], np.float64)
+        assert polygon_intersection_area(outer, inner) == pytest.approx(
+            12.0, abs=1e-12)
+        assert polygon_intersection_area(inner, outer) == pytest.approx(
+            12.0, abs=1e-12)
+
+    def test_nonconvex_L_shapes(self):
+        # L-shape (non-convex, the typical >4-wall Manhattan room) vs a
+        # square covering the notch: exact value by hand.
+        from panfusion_tpu.metrics.manhattan import polygon_intersection_area
+        L = np.array([[0, 0], [4, 0], [4, 2], [2, 2], [2, 4], [0, 4]],
+                     np.float64)  # area 12
+        sq = np.array([[1, 1], [3, 1], [3, 3], [1, 3]], np.float64)  # area 4
+        # overlap: [1,3]x[1,2] (2) + [1,2]x[2,3] (1) = 3
+        assert polygon_intersection_area(L, sq) == pytest.approx(3.0,
+                                                                 abs=1e-12)
+
+    def test_orientation_invariance(self):
+        from panfusion_tpu.metrics.manhattan import polygon_intersection_area
+        a = np.array([[0, 0], [4, 0], [4, 3], [0, 3]], np.float64)
+        b = np.array([[2, 1], [6, 1], [6, 5], [2, 5]], np.float64)
+        ref = polygon_intersection_area(a, b)
+        assert polygon_intersection_area(a[::-1], b) == pytest.approx(ref)
+        assert polygon_intersection_area(a, b[::-1]) == pytest.approx(ref)
+        assert polygon_intersection_area(a[::-1], b[::-1]) == pytest.approx(
+            ref)
+
+    def test_matches_rasterized_crosscheck_random(self):
+        from panfusion_tpu.metrics.manhattan import (
+            polygon_intersection_area, polygon_iou_2d, polygon_area)
+        rng = np.random.default_rng(0)
+        for _ in range(8):
+            # random simple star-shaped polygons around distinct centers
+            def star(cx, cy):
+                n = int(rng.integers(4, 9))
+                ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+                rad = rng.uniform(0.5, 2.0, n)
+                return np.stack([cx + rad * np.cos(ang),
+                                 cy + rad * np.sin(ang)], axis=1)
+            a = star(0.0, 0.0)
+            b = star(rng.uniform(-1, 1), rng.uniform(-1, 1))
+            exact = polygon_intersection_area(a, b)
+            raster, _ = polygon_iou_2d(a, b, grid=1024)
+            scale = max(polygon_area(a), polygon_area(b))
+            assert abs(exact - raster) / scale < 5e-2
