@@ -90,15 +90,18 @@ def bias_attention(q, k, v, bias=None, force_xla: bool = False):
                 # keep ab in the compute dtype — at full size this tensor is
                 # (2, 10, 2048, 5120); f32 would be 840 MB of HBM
                 ab = jnp.broadcast_to(bias4, (b, h, n, m)).astype(q.dtype)
-            def pick(x):
-                # largest power-of-two block <= 512 dividing the length
+            def pick(x, cap):
+                # largest power-of-two block <= cap dividing the length
                 # (fwd AND bwd kernels require exact divisibility)
-                for cand in (512, 256, 128):
-                    if x % cand == 0:
-                        return cand
-                return x
+                cand = 128
+                while cand * 2 <= cap and x % (cand * 2) == 0:
+                    cand *= 2
+                return cand if x % cand == 0 else x
 
-            bq, bk = pick(n), pick(m)
+            # block caps are env-tunable so scripts/tune_flash_blocks.py can
+            # sweep them on-chip; defaults match the round-1 heuristic (512)
+            bq = pick(n, int(os.environ.get("PANFUSION_FLASH_BQ", "512")))
+            bk = pick(m, int(os.environ.get("PANFUSION_FLASH_BK", "512")))
             block = BlockSizes(
                 block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
                 block_q_major_dkv=bq, block_k_major_dkv=bk,
