@@ -52,6 +52,10 @@ class DataConfig:
     manhattan_layout: bool = False
     layout_cond_type: Optional[str] = None
     repeat_predict: int = 10
+    # cap the predict split at the first N prompts (0 = all). The reference
+    # always predicts the full scan (dataset/PanoDataset.py:42-46); demo
+    # panels from a big data_dir shouldn't require generating every scene.
+    predict_limit: int = 0
     layout_anno_dir: Optional[str] = None
     load_layout: bool = False
     # skip the m perspective view crops (the loader's dominant cost) for
@@ -73,6 +77,8 @@ class PanoDataset:
 
         self.data = self.load_split(mode)
         if mode == "predict":
+            if config.predict_limit > 0:
+                self.data = self.data[: config.predict_limit]
             expanded = []
             for d in self.data:
                 for i in range(config.repeat_predict):

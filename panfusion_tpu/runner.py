@@ -145,12 +145,14 @@ def fit(
             print(f"training on mesh {dict(mesh.shape)}")
 
     from .train.params import (controlnet_trainable, default_trainable,
-                               full_dual_trainable, vae_trainable)
+                               full_dual_trainable, full_text_trainable,
+                               vae_trainable)
 
     predicate = (
         vae_trainable if train_cfg.objective == "vae_recon"
         else controlnet_trainable if model.cfg.layout_cond
         else full_dual_trainable if train_cfg.trainable == "full"
+        else full_text_trainable if train_cfg.trainable == "full_text"
         else default_trainable
     )
     state, opt = create_train_state(model, params, train_cfg, predicate)
@@ -222,8 +224,17 @@ def fit(
                     logger.log({f"train/{k}": float(v)
                                 for k, v in metrics.items()}, step)
                 return state
-        ckpt.save(state)
+        last_epoch = epoch == train_cfg.max_epochs - 1
+        if last_epoch:
+            ckpt.save(state)
+        else:
+            # short epochs (a 100-step synthetic epoch is ~40 s) must not
+            # serialize the full TrainState every time; the 10-minute
+            # interval is the reference's checkpoint cadence (main.py:35-39)
+            ckpt.maybe_save(state)
         logger.log({"epoch": epoch}, step)
+        if (epoch + 1) % max(1, train_cfg.val_every_n_epochs) and not last_epoch:
+            continue
         if train_cfg.objective == "vae_recon":
             _validate_vae(model, state, datamodule, logger, step)
         else:

@@ -35,9 +35,15 @@ class TrainConfig:
     cn_lr_scale: float = 0.1  # reference get_cn (PanoGenerator.py:153-157)
     use_cosine: bool = True  # disabled when layout_cond (PanoGenerator.py:289)
     grad_accum: int = 1
-    # 'adapters' (reference: LoRA + WarpAttn on frozen SD2) or 'full'
-    # (both UNets + WarpAttn; VAE/text frozen — from-scratch runs)
+    # 'adapters' (reference: LoRA + WarpAttn on frozen SD2), 'full'
+    # (both UNets + WarpAttn; VAE/text frozen) or 'full_text' (UNets +
+    # WarpAttn + text encoder; VAE frozen — from-scratch runs, where the
+    # text tower is random and freezing it starves conditioning)
     trainable: str = "adapters"
+    # run the epoch-end validation (full 50-step inference on val samples)
+    # only every N epochs: a multi-hundred-epoch from-scratch run would
+    # otherwise spend a large fraction of chip time sampling panels
+    val_every_n_epochs: int = 1
     # 'diffusion' (the reference objective) or 'vae_recon' (first-stage
     # recon pretrain for from-scratch runs; forces the VAE-only trainable
     # set — the reference never trains its VAE, it ships SD2's)

@@ -33,6 +33,17 @@ def full_dual_trainable(path: Tuple[str, ...]) -> bool:
     return path[0] == "dual"
 
 
+def full_text_trainable(path: Tuple[str, ...]) -> bool:
+    """From-scratch training including the text tower
+    (--trainer.trainable=full_text): both UNets + WarpAttn + the CLIP-style
+    text encoder; only the VAE stays frozen (it is pretrained by the
+    vae_recon stage). The reference conditions on *pretrained* frozen CLIP
+    (PanoGenerator.py:116-121); a from-scratch run has no pretrained text
+    tower, and conditioning through a frozen RANDOM encoder starves the
+    prompt signal — round 2's noise-sample postmortem."""
+    return path[0] in ("dual", "text")
+
+
 def vae_trainable(path: Tuple[str, ...]) -> bool:
     """First-stage recon pretrain (--trainer.objective=vae_recon): only the
     AutoencoderKL trains; everything else is frozen ballast. The latent_norm
