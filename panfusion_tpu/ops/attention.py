@@ -91,15 +91,21 @@ def bias_attention(q, k, v, bias=None, force_xla: bool = False):
                 # (2, 10, 2048, 5120); f32 would be 840 MB of HBM
                 ab = jnp.broadcast_to(bias4, (b, h, n, m)).astype(q.dtype)
             def pick(x, cap):
-                # largest power-of-two block <= cap dividing the length
-                # (fwd AND bwd kernels require exact divisibility)
-                cand = 128
+                # largest power-of-two block in [128, cap] dividing the
+                # length (fwd AND bwd kernels require exact divisibility).
+                # Caps below 128 or off powers of two round DOWN via the
+                # min/loop (ADVICE r2: the old loop returned 128 even when
+                # cap < 128, silently exceeding the user's cap).
+                cand = min(128, 1 << max(int(cap).bit_length() - 1, 0))
                 while cand * 2 <= cap and x % (cand * 2) == 0:
                     cand *= 2
-                return cand if x % cand == 0 else x
+                return cand if cand >= 1 and x % cand == 0 else x
 
-            # block caps are env-tunable so scripts/tune_flash_blocks.py can
-            # sweep them on-chip; defaults match the round-1 heuristic (512)
+            # Block caps are env-tunable so scripts/tune_flash_blocks.py can
+            # sweep them on-chip; defaults match the round-1 heuristic (512).
+            # NOTE: read at TRACE time — once a jitted caller has compiled,
+            # changing the env has no effect (the jit cache keys on the
+            # traced graph, not the env); set them before first compilation.
             bq = pick(n, int(os.environ.get("PANFUSION_FLASH_BQ", "512")))
             bk = pick(m, int(os.environ.get("PANFUSION_FLASH_BK", "512")))
             block = BlockSizes(

@@ -27,7 +27,12 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def bench_shape(name, b, n, m, h, d, bias, caps, iters):
+def bench_shape(name, b, n, m, h, d, bias, caps, iters, grad=False):
+    """Time the jitted kernel per (bq, bk) cap pair; with grad=True, time
+    forward+backward instead (ADVICE r2: the caps also set every backward
+    block size — block_*_dkv/block_*_dq — so a fwd-only winner can be slow
+    or VMEM-infeasible in training; tune inference caps with fwd-only and
+    training caps with --grad)."""
     import jax
     import jax.numpy as jnp
 
@@ -52,17 +57,24 @@ def bench_shape(name, b, n, m, h, d, bias, caps, iters):
             os.environ["PANFUSION_FLASH_BQ"] = str(bq)
             os.environ["PANFUSION_FLASH_BK"] = str(bk)
 
-            fn = jax.jit(lambda q, k, v, ab: att.bias_attention(q, k, v, ab))
+            if grad:
+                # fwd+bwd: grads wrt q/k/v exercise the dkv and dq kernels
+                loss = lambda q, k, v, ab: jnp.sum(
+                    att.bias_attention(q, k, v, ab).astype(jnp.float32) ** 2
+                )
+                fn = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+            else:
+                fn = jax.jit(lambda q, k, v, ab: att.bias_attention(q, k, v, ab))
             try:
                 out = fn(q, k, v, ab)
-                out.block_until_ready()
+                jax.block_until_ready(out)
             except Exception as exc:  # kernel rejects this tiling
                 print(f"  {name} bq={bq} bk={bk}: FAIL {exc!r}")
                 continue
             ts = []
             for _ in range(iters):
                 t0 = time.perf_counter()
-                fn(q, k, v, ab).block_until_ready()
+                jax.block_until_ready(fn(q, k, v, ab))
                 ts.append(time.perf_counter() - t0)
             med = sorted(ts)[len(ts) // 2] * 1e3
             rows.append((med, bq, bk))
@@ -70,7 +82,8 @@ def bench_shape(name, b, n, m, h, d, bias, caps, iters):
     rows.sort()
     if rows:
         med, bq, bk = rows[0]
-        print(f"BEST {name}: bq={bq} bk={bk} -> {med:.3f} ms")
+        tag = "fwd+bwd" if grad else "fwd"
+        print(f"BEST {name} [{tag}]: bq={bq} bk={bk} -> {med:.3f} ms")
     return rows[0] if rows else None
 
 
@@ -79,6 +92,10 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument(
         "--caps", type=int, nargs="*", default=[128, 256, 512, 1024, 2048]
+    )
+    ap.add_argument(
+        "--grad", action="store_true",
+        help="time forward+backward (training caps) instead of fwd-only",
     )
     args = ap.parse_args()
 
@@ -91,10 +108,11 @@ def main():
     ]
     best = {}
     for name, b, n, m, h, d, bias in shapes:
-        r = bench_shape(name, b, n, m, h, d, bias, args.caps, args.iters)
+        r = bench_shape(name, b, n, m, h, d, bias, args.caps, args.iters,
+                        grad=args.grad)
         if r:
             best[name] = {"ms": r[0], "bq": r[1], "bk": r[2]}
-    print({"best": best})
+    print({"best": best, "mode": "fwd+bwd" if args.grad else "fwd"})
 
 
 if __name__ == "__main__":
