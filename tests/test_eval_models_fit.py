@@ -5,6 +5,9 @@ import types
 import numpy as np
 import pytest
 
+# heavy: compiles full train/fit steps on single-core XLA:CPU (minutes cold)
+pytestmark = pytest.mark.slow
+
 
 class _FakeLoader:
     def __init__(self, batches):

@@ -13,6 +13,9 @@ Runs on the conftest-forced 8-virtual-device CPU platform.
 import numpy as np
 import pytest
 
+# heavy: compiles full train/fit steps on single-core XLA:CPU (minutes cold)
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

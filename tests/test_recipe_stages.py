@@ -19,6 +19,9 @@ import os
 import numpy as np
 import pytest
 
+# heavy: compiles full train/fit steps on single-core XLA:CPU (minutes cold)
+pytestmark = pytest.mark.slow
+
 pytest.importorskip("orbax.checkpoint")
 
 import jax  # noqa: E402

@@ -283,6 +283,7 @@ def _load_ref_warpattn():
     return mod
 
 
+@pytest.mark.slow  # torch tower build + convert + full-res forward
 class TestWarpAttn:
     def test_freq_bands_bitwise(self):
         """SphericalPE freq band buffer must match torch bitwise (see
@@ -350,6 +351,7 @@ class TestWarpAttn:
             np.asarray(e_j).transpose(0, 3, 1, 2), e_t.numpy(), atol=5e-5)
 
 
+@pytest.mark.slow  # torch tower build + convert + full-res forward
 class TestMVDiffusionParity:
     def test_correspondence_grids(self):
         """get_correspondences homography grids (external/MVDiffusion/
@@ -437,6 +439,7 @@ class TestMVDiffusionParity:
 
 
 # ------------------------------------------------- converted torch models
+@pytest.mark.slow  # torch tower build + convert + full-res forward
 class TestFAEDParity:
     def test_autoencoder_forward_parity(self):
         """Reference FAED AutoEncoder (models/faed/modules.py) with a real
@@ -570,6 +573,7 @@ class TestPanoStretchParity:
                 interior.mean(), interior.max())
 
 
+@pytest.mark.slow  # torch tower build + convert + full-res forward
 class TestCLIPTextParity:
     def test_forward_parity_vs_transformers(self):
         """The reference text encoder IS transformers.CLIPTextModel
@@ -605,6 +609,7 @@ class TestCLIPTextParity:
         np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+@pytest.mark.slow  # torch tower build + convert + full-res forward
 class TestHorizonNetParity:
     def test_forward_parity(self):
         """Reference HorizonNet (resnet50 + GlobalHeightStage + 2-layer

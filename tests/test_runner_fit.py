@@ -6,6 +6,9 @@ import os
 import numpy as np
 import pytest
 
+# heavy: compiles full train/fit steps on single-core XLA:CPU (minutes cold)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture()
 def tiny_model():
