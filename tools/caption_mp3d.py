@@ -80,11 +80,25 @@ def make_blip_captioner(model_dir: str, prompt: str):
     return caption
 
 
+def make_tiny_captioner(ckpt_dir: str):
+    """From-scratch TinyCaptioner backend (panfusion_tpu/models/captioner.py),
+    trained by tools/train_captioner.py — the no-network-egress stand-in for
+    BLIP-2 that still exercises the full scan → neural model → caption-file
+    pipeline."""
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    from panfusion_tpu.models.captioner import load_captioner
+
+    return load_captioner(ckpt_dir)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mp3d_skybox_path", default="data/Matterport3D/mp3d_skybox")
+    ap.add_argument("--captioner", choices=["blip", "tiny"], default="blip")
     ap.add_argument("--model_dir", default=None,
-                    help="local transformers BLIP/BLIP-2 checkpoint dir")
+                    help="blip: local transformers checkpoint dir; "
+                         "tiny: train_captioner.py output "
+                         "(default weights/captioner)")
     ap.add_argument("--prompt", default="a 360 - degree view of")
     args = ap.parse_args()
 
@@ -92,14 +106,19 @@ def main():
     print(f"{len(todo)} panoramas to caption (of {total})")
     if not todo:
         return
-    if args.model_dir is None or not os.path.isdir(args.model_dir):
+    if args.captioner == "tiny":
+        ckpt = args.model_dir or os.path.join("weights", "captioner")
+        caption_fn = make_tiny_captioner(ckpt)
+    elif args.model_dir is None or not os.path.isdir(args.model_dir):
         sys.exit(
             "No local captioner: pass --model_dir pointing at a downloaded "
             "BLIP/BLIP-2 transformers checkpoint (this environment has no "
-            "network egress to fetch one)."
+            "network egress to fetch one), or use --captioner=tiny with a "
+            "tools/train_captioner.py checkpoint."
         )
-    run_captioner(todo, make_blip_captioner(args.model_dir, args.prompt),
-                  args.prompt)
+    else:
+        caption_fn = make_blip_captioner(args.model_dir, args.prompt)
+    run_captioner(todo, caption_fn, args.prompt)
 
 
 if __name__ == "__main__":
