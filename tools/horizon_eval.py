@@ -66,6 +66,8 @@ def main():
     p.add_argument("--mode", choices=("general", "cuboid"), default="general")
     p.add_argument("--w", type=int, default=1024)
     p.add_argument("--h", type=int, default=512)
+    p.add_argument("--summary_json", default=None,
+                   help="also write the overall metrics to this JSON path")
     args = p.parse_args()
 
     from panfusion_tpu.metrics.layout_eval import (
@@ -78,6 +80,7 @@ def main():
         print("no prediction/GT pairs found", file=sys.stderr)
         return 1
 
+    summary = None
     if args.mode == "general":
         agg = GeneralLayoutEval(args.w, args.h)
         for gt_path, dt_path in pairs:
@@ -89,6 +92,7 @@ def main():
             m = results[bucket]
             print(f"[{bucket:>7}] " + "  ".join(
                 f"{k}={v:.4f}" for k, v in sorted(m.items())))
+        summary = dict(results.get("overall", {}))
     else:
         losses = {"CE": [], "PE": [], "3DIoU": []}
         for gt_path, dt_path in pairs:
@@ -103,7 +107,19 @@ def main():
                 losses[k].append(v)
         print("  ".join(
             f"{k}={float(np.mean(v)):.4f}" for k, v in losses.items()))
+        summary = {k: float(np.mean(v)) for k, v in losses.items()}
     print(f"n={len(pairs)}")
+    if args.summary_json:
+        summary = dict(summary or {})
+        # Underscored aliases (2D_IoU/3D_IoU) for downstream consumers.
+        for k in list(summary):
+            if k.endswith("IoU") and "_" not in k:
+                summary[k.replace("IoU", "_IoU")] = summary[k]
+        summary["n"] = len(pairs)
+        os.makedirs(os.path.dirname(args.summary_json) or ".", exist_ok=True)
+        with open(args.summary_json, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"summary -> {args.summary_json}")
     return 0
 
 
