@@ -78,4 +78,11 @@ WANDB_RUN_ID=synpano_diff python -m panfusion_tpu.cli test --model=EvalPanoGen \
   $DATA --data.pano_height=256 --data.pers_resolution=128 \
   --data.cam_sampler=horizon
 
+echo "=== 6. FAED sample-quality gate (vs gaussian-noise floor) ==="
+python tools/faed_distance.py \
+  --gt_glob 'data/SyntheticRooms/*/matterport_stitched_images/*.png' \
+  --gen_glob 'logs/synpano_diff/predict/*/pano.jpg' \
+  --ckpt weights/faed --height 256 --noise_floor \
+  --out logs/synpano_diff/faed_gate.json
+
 echo "=== eval suite done ==="

@@ -138,3 +138,35 @@ class TestDiffusionRun:
             pytest.skip("no committed media")
         names = os.listdir(media)
         assert any(n.startswith("val_pano_pred") for n in names), names
+
+    def test_predict_panels_are_not_noise(self):
+        """Round-2 failure mode: eps-loss converged while every generated
+        panorama decoded to high-frequency color noise. Gate directly on the
+        committed predict images: natural/synthetic room renders have small
+        neighbor-pixel gradients; uint8 noise averages ~85."""
+        import glob
+
+        import numpy as np
+        from PIL import Image
+
+        paths = sorted(glob.glob(
+            os.path.join(LOGS, "synpano_diff", "predict", "*", "pano.jpg")))
+        if not paths:
+            pytest.skip("no committed predict panels")
+        for p in paths:
+            img = np.asarray(Image.open(p).convert("L"), np.float32)
+            grad = np.abs(np.diff(img, axis=1)).mean()
+            assert grad < 30.0, (
+                f"{p}: mean |dx| {grad:.1f} — generated panel looks like "
+                "noise (uint8 noise ~85, rendered rooms < 30)")
+
+    def test_faed_sample_quality_gate(self):
+        """Trained-FAED(GT, samples) must be far below FAED(GT, noise)
+        (tools/faed_distance.py --noise_floor, run by
+        scripts/run_eval_suite.sh with the trained weights/faed model)."""
+        path = os.path.join(LOGS, "synpano_diff", "faed_gate.json")
+        if not os.path.isfile(path):
+            pytest.skip("no committed faed gate")
+        gate = json.load(open(path))
+        assert gate["trained_weights"], "gate ran with a random encoder"
+        assert gate["FAED_gen"] < 0.5 * gate["FAED_noise"], gate

@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""FAED between two panorama sets, with an optional gaussian-noise floor.
+
+This is the sample-quality gate for the from-scratch learning demonstration:
+a trained generator's panoramas must be much closer (in trained-FAED space)
+to the ground-truth distribution than gaussian-noise panos are. The
+reference computes the same statistic inside its eval harness
+(reference models/faed/FAED.py:50-103, models/pano/EvalPanoGen.py:74-83);
+this tool exposes it standalone over image files so the gate can run right
+after `predict`/`test` without the full 18-metric sweep.
+
+Usage:
+  python tools/faed_distance.py --gt_glob 'data/.../pano/*.png' \
+      --gen_glob 'logs/synpano_diff/predict/*/pano.jpg' \
+      --ckpt weights/faed --height 256 --noise_floor \
+      --out logs/synpano_diff/faed_gate.json
+"""
+import argparse
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def load_panos(paths, height):
+    from PIL import Image
+
+    imgs = []
+    for p in sorted(paths):
+        im = Image.open(p).convert("RGB").resize((height * 2, height))
+        imgs.append(np.asarray(im, np.uint8))
+    return np.stack(imgs)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--gt_glob", required=True)
+    p.add_argument("--gen_glob", required=True)
+    p.add_argument("--ckpt", default=os.path.join("weights", "faed"))
+    p.add_argument("--height", type=int, default=256)
+    p.add_argument("--noise_floor", action="store_true",
+                   help="also FAED(GT, uint8-noise panos) as the fail bar")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default=None, help="write metrics JSON here")
+    p.add_argument("--cpu", action="store_true",
+                   help="pin XLA:CPU (the env var alone is overridden by "
+                        "the axon sitecustomize)")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    gt_paths = glob.glob(args.gt_glob)
+    gen_paths = glob.glob(args.gen_glob)
+    if len(gt_paths) < 2 or len(gen_paths) < 2:
+        print(f"need >=2 images per set (gt={len(gt_paths)}, "
+              f"gen={len(gen_paths)})", file=sys.stderr)
+        return 1
+
+    import functools
+
+    import jax.numpy as jnp
+
+    import panfusion_tpu
+    panfusion_tpu.enable_compilation_cache()
+    from panfusion_tpu.models.faed import (
+        FAEDAutoEncoder,
+        FrechetAutoEncoderDistance,
+    )
+    from panfusion_tpu.train.checkpoints import CheckpointManager
+
+    net = FAEDAutoEncoder()
+    variables = net.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 128, 3), jnp.float32))
+    restored = CheckpointManager(args.ckpt).restore(variables)
+    if restored is None:
+        print(f"WARNING: no FAED weights under {args.ckpt}; the distance "
+              "uses a RANDOM encoder and is not meaningful as a gate",
+              file=sys.stderr)
+    else:
+        variables = restored
+    run = jax.jit(lambda v, x: net.apply(v, x, method=net.encode))
+    encode = functools.partial(run, variables)
+
+    gt = load_panos(gt_paths, args.height)
+    gen = load_panos(gen_paths, args.height)
+
+    def faed_between(a, b):
+        m = FrechetAutoEncoderDistance(args.height, encode)
+        for i in range(0, len(a), 8):
+            m.update(a[i:i + 8], real=True)
+        for i in range(0, len(b), 8):
+            m.update(b[i:i + 8], real=False)
+        return m.compute()
+
+    out = {
+        "FAED_gen": faed_between(gt, gen),
+        "n_gt": len(gt_paths),
+        "n_gen": len(gen_paths),
+        "trained_weights": restored is not None,
+    }
+    if args.noise_floor:
+        rng = np.random.default_rng(args.seed)
+        noise = rng.integers(
+            0, 256, size=(len(gen),) + gt.shape[1:], dtype=np.uint8)
+        out["FAED_noise"] = faed_between(gt, noise)
+        out["gen_over_noise"] = out["FAED_gen"] / max(out["FAED_noise"], 1e-9)
+    print(json.dumps(out, indent=1))
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
