@@ -434,6 +434,18 @@ class LayoutConsistency(LayoutIoU):
         self.variables = self.task.load_variables(ckpt_path)
 
     def update(self, img01: np.ndarray, layout_gt: np.ndarray):
-        imgs = np.asarray(img01, np.float32)[None] * 2.0 - 1.0
+        """``img01`` (H, W, 3) in [0, 1]; ``layout_gt`` corner pixels in the
+        IMAGE's own (W, H) space — both are rescaled to the net's trained
+        1024x512 frame (eval_layout_iou's coor2xy assumes it; the reference
+        always evaluates at native 512x1024, HorizonNet.py:265-274, while
+        our demo-preset generations can be smaller)."""
+        import cv2
+
+        img = np.asarray(img01, np.float32)
+        h, w = img.shape[:2]
+        if (h, w) != (512, 1024):
+            img = cv2.resize(img, (1024, 512), interpolation=cv2.INTER_LINEAR)
+        gt = np.asarray(layout_gt, np.float64) * [1024.0 / w, 512.0 / h]
+        imgs = img[None] * 2.0 - 1.0
         layouts, _, _, _ = self.task.predict_layout(self.variables, imgs)
-        super().update(layouts, [layout_gt])
+        super().update(layouts, [gt])

@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Contrast probe for learned layout conditioning (ControlNet stage 2).
+
+Generates panos from the SAME prompt and the SAME noise under different
+layout distance maps, then quantifies whether the conditioning steers the
+geometry: a frozen trained HorizonNet estimates each generation's layout and
+we compare its IoU against the *conditioning* room's GT layout (matched)
+vs the other room's layout (crossed). Learned conditioning ⇒ matched IoU
+above crossed IoU. This is the reference's two-stage promise (reference
+README.md:215 layout-conditioned generation; LayoutConsistency metric,
+models/horizonnet/HorizonNet.py:265-274) made falsifiable.
+
+Usage:
+  python scripts/probe_layout_cond.py --ckpt logs/synpano_cn/checkpoints/last \
+      --out logs/synpano_cn/contrast [--rooms room0400_v0,room0401_v0]
+"""
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default="logs/synpano_cn/checkpoints/last")
+    ap.add_argument("--out", default="logs/synpano_cn/contrast")
+    ap.add_argument("--data_dir", default="data/SyntheticRooms")
+    ap.add_argument("--rooms", default=None,
+                    help="comma-separated <scene>_<view>; default: first two "
+                         "of lo_test.txt")
+    ap.add_argument("--horizonnet_ckpt",
+                    default=os.path.join("weights", "horizonnet"))
+    ap.add_argument("--guidance", type=float, default=None,
+                    help="override guidance_scale")
+    args = ap.parse_args()
+
+    import panfusion_tpu
+
+    panfusion_tpu.enable_compilation_cache()
+    import jax
+    import numpy as np
+    from PIL import Image
+
+    from panfusion_tpu.data.matterport3d import Matterport3D
+    from panfusion_tpu.models import PanFusion
+    from panfusion_tpu.models.panfusion import PanFusionConfig, cast_params
+
+    if args.rooms:
+        names = args.rooms.split(",")
+    else:
+        names = [l.strip() for l in
+                 open(os.path.join(args.data_dir, "lo_test.txt"))
+                 if l.strip()][:2]
+    assert len(names) == 2, names
+
+    # Load the two rooms through the real data pipeline (the probe must see
+    # exactly the distance-map normalization training saw).
+    dm = Matterport3D(
+        data_dir=args.data_dir,
+        layout_anno_dir=os.path.join(args.data_dir, "annotations"),
+        pano_height=256, pers_resolution=128, cam_sampler="horizon",
+        batch_size=1, num_workers=0, layout_cond_type="distance_map",
+        manhattan_layout=True,
+    )
+    dm.setup("test")
+    ds = dm.test_dataset
+    by_id = {}
+    for i in range(len(ds)):
+        item = ds[i]
+        if item["pano_id"] in names:
+            by_id[item["pano_id"]] = item
+        if len(by_id) == 2:
+            break
+    assert set(by_id) == set(names), (sorted(by_id), names)
+    items = [by_id[n] for n in names]
+
+    kw = dict(preset="demo", num_views=8, pano_height=256,
+              pers_resolution=128, layout_cond=True)
+    cfg = PanFusionConfig(**kw)
+    if args.guidance is not None:
+        cfg = dataclasses.replace(cfg, guidance_scale=args.guidance)
+    model = PanFusion(cfg)
+    params = model.load_or_init_params(args.ckpt)
+    params = cast_params(params, cfg.dtype)
+
+    os.makedirs(args.out, exist_ok=True)
+    rng = jax.random.PRNGKey(0)  # SAME noise for every condition
+
+    gens = {}  # (prompt_room, cond_room) -> uint8 pano
+    for pi, prompt_item in enumerate(items):
+        for ci, cond_item in enumerate(items):
+            batch = {
+                "pano_prompt": [prompt_item["pano_prompt"]],
+                "prompt": None,
+                "pano_layout_cond": cond_item["pano_layout_cond"][None],
+            }
+            _, pano = model.inference(params, batch, rng)
+            gens[(pi, ci)] = np.asarray(pano[0])
+            Image.fromarray(gens[(pi, ci)]).save(os.path.join(
+                args.out, f"pano_prompt{names[pi]}_cond{names[ci]}.png"))
+            print(f"generated prompt={names[pi]} cond={names[ci]}")
+
+    # Frozen trained HorizonNet -> IoU of each generation vs each GT layout
+    from panfusion_tpu.models.horizonnet import HorizonNet
+    from panfusion_tpu.metrics.manhattan import eval_layout_iou
+
+    import cv2
+
+    hn = HorizonNet()
+    hn_vars = hn.load_variables(args.horizonnet_ckpt)
+    # scale GT corners and generations into the net's trained 1024x512
+    # frame (eval_layout_iou's coor2xy convention)
+    gts = [np.asarray(it["manhattan_layout"], np.float64)
+           * [1024.0 / 512.0, 512.0 / 256.0] for it in items]
+
+    matched, crossed = [], []
+    table = {}
+    for (pi, ci), img in gens.items():
+        x = cv2.resize(img.astype(np.float32) / 127.5 - 1.0, (1024, 512),
+                       interpolation=cv2.INTER_LINEAR)
+        layouts, _, _, _ = hn.predict_layout(hn_vars, x[None])
+        for gi, gt in enumerate(gts):
+            iou3d, iou2d = eval_layout_iou(
+                np.asarray(layouts[0]), np.asarray(gt))
+            table[f"prompt{pi}_cond{ci}_vs_gt{gi}"] = {
+                "2DIoU": iou2d, "3DIoU": iou3d}
+            (matched if gi == ci else crossed).append(iou2d)
+
+    out = {
+        "rooms": names,
+        "matched_2DIoU_mean": float(np.mean(matched)),
+        "crossed_2DIoU_mean": float(np.mean(crossed)),
+        "conditioning_wins": float(np.mean(matched)) > float(np.mean(crossed)),
+        "pairs": table,
+    }
+    print(json.dumps(out, indent=1))
+    with open(os.path.join(args.out, "contrast.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
