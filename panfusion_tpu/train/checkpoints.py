@@ -24,6 +24,13 @@ class CheckpointManager:
     def __init__(self, ckpt_dir: str, interval_minutes: float = 10.0):
         self.ckpt_dir = os.path.abspath(ckpt_dir)
         os.makedirs(self.ckpt_dir, exist_ok=True)
+        # PANFUSION_CKPT_MINUTES overrides the reference's 10-minute cadence
+        # (main.py:35-39): a mid-run orbax save fetches the full train state
+        # device->host, which on a tunneled chip can cost minutes — hosts
+        # with slow links can trade recovery granularity for throughput.
+        interval_minutes = float(
+            os.environ.get("PANFUSION_CKPT_MINUTES", interval_minutes)
+        )
         self.interval = interval_minutes * 60.0
         # first interval starts now — step 1 must not block on a full
         # multi-GB serialization

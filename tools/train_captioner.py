@@ -50,7 +50,10 @@ def main():
     ap.add_argument("--data", default="data/SyntheticRooms")
     ap.add_argument("--out", default=os.path.join("weights", "captioner"))
     ap.add_argument("--log_dir", default=os.path.join("logs", "syncaption"))
-    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--roll_aug", type=int, default=1,
+                    help="random yaw-roll augmentation (captions are "
+                         "roll-invariant on the equirect)")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--n_test", type=int, default=20)
@@ -112,8 +115,20 @@ def main():
     t0 = time.time()
     for step in range(1, args.steps + 1):
         idx = rng.integers(0, len(train_pairs), args.batch)
+        batch_img = images[idx]
+        if args.roll_aug:
+            # captions are invariant to equirect yaw: a random horizontal
+            # roll per sample multiplies the 180-room train set without
+            # changing the target text (the same trick the main dataset
+            # uses for panos, reference dataset/PanoDataset.py:130-131).
+            # Without it the model memorizes accent-wall positions and
+            # misses held-out accent colors (exact_match 0.3 vs 0.85+).
+            shifts = rng.integers(0, batch_img.shape[2], len(idx))
+            batch_img = np.stack([
+                np.roll(im, s, axis=1) for im, s in zip(batch_img, shifts)
+            ])
         params, opt_state, loss = train_step(
-            params, opt_state, jnp.asarray(images[idx]), jnp.asarray(tokens[idx])
+            params, opt_state, jnp.asarray(batch_img), jnp.asarray(tokens[idx])
         )
         if step % 20 == 0:
             row = {"_time": time.time(), "_step": step,
