@@ -91,6 +91,12 @@ def build_model(name: str, overrides: Dict[str, str], data_hparams=None):
             cfg.pano_height = data_hparams.pano_height
             cfg.pers_resolution = data_hparams.pers_resolution
             cfg.fov = float(data_hparams.fov)
+        # re-arm the per-preset "auto" schedule fields (the constructor
+        # already resolved them for the default preset; a --model.preset
+        # override must re-resolve them unless the user pinned them)
+        cfg.prediction_type, cfg.timestep_spacing, cfg.zero_snr = (
+            "auto", "auto", None,
+        )
         apply_overrides(cfg, {**_env_overrides("model"), **overrides}, "model")
         cfg.__post_init__()  # re-expand preset after overrides
         return PanFusion(cfg)

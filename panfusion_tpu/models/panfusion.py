@@ -79,6 +79,18 @@ class PanFusionConfig:
     # executions survive infra watchdogs on tunneled chips; see _sample_loop.
     # 25 measured best on the tunneled v5e (interleaved A/B vs 5/10/17/50).
     scan_chunk: int = 25
+    # noise-schedule surface (diffusers DDIMScheduler parity): SD2-base is
+    # epsilon/leading/no-zero-SNR/eta=0 (reference PanoGenerator.py:128-130).
+    # From-scratch training (the demo preset) uses v_prediction + trailing +
+    # zero_snr (Lin et al. 2024): the scaled-linear schedule leaves ~4.7%
+    # signal at t=999, which a small model learns to lean on and then cannot
+    # sample from pure noise (demo-run failure mode, round 3). "auto"
+    # resolves per preset in __post_init__ so every tool (fit/predict/
+    # probe_guidance/eval) agrees without flag-threading.
+    prediction_type: str = "auto"
+    timestep_spacing: str = "auto"
+    zero_snr: Any = None
+    ddim_eta: float = 0.0
     pano_pad: bool = True
     layout_cond: bool = False
     pers_layout_cond: bool = False
@@ -101,6 +113,13 @@ class PanFusionConfig:
     preset: str = "sd2"
 
     def __post_init__(self):
+        demo = self.preset == "demo"
+        if self.prediction_type == "auto":
+            self.prediction_type = "v_prediction" if demo else "epsilon"
+        if self.timestep_spacing == "auto":
+            self.timestep_spacing = "trailing" if demo else "leading"
+        if self.zero_snr is None:
+            self.zero_snr = demo
         if self.preset == "demo":
             # from-scratch synthetic-room demo (VERDICT r1 Next #3): towers
             # big enough to learn room structure at 256x512, small enough to
@@ -175,7 +194,11 @@ class PanFusion:
         )
         self.text_encoder = CLIPTextModel(dtype=config.dtype, **(config.text_kwargs or {}))
         self.tokenizer = load_tokenizer()
-        self.schedule = make_ddim_schedule(config.diff_timestep)
+        self.schedule = make_ddim_schedule(
+            config.diff_timestep,
+            timestep_spacing=config.timestep_spacing,
+            zero_snr=config.zero_snr,
+        )
 
         # layout-conditioning ControlNets (reference get_cn,
         # PanoGenerator.py:153-157; pers branch gated on pers_layout_cond)
@@ -423,6 +446,7 @@ class PanFusion:
 
         # init_noise is jitted with cached tracing (a fresh jax.jit wrapper
         # per call would re-trace the e2p warp on every inference)
+        rng, eta_rng = jax.random.split(rng)
         pano_latent, pers_latents = self.init_noise(
             rng, b, (eh, ew), (pr, pr), theta, phi
         )
@@ -456,7 +480,7 @@ class PanFusion:
             n = min(chunk, T - i0)
             carry = self._sample_chunk(
                 params, carry, pers_ctx2, pano_ctx2, phase_sites,
-                jnp.asarray(i0, jnp.int32), n, num_views,
+                jnp.asarray(i0, jnp.int32), n, num_views, eta_rng,
             )
         pers_latents, pano_latent, _ = carry
 
@@ -472,7 +496,7 @@ class PanFusion:
     )
     def _sample_chunk(
         self, params, carry, pers_ctx2, pano_ctx2, phase_sites, i0,
-        n_steps: int, num_views: int,
+        n_steps: int, num_views: int, eta_rng=None,
     ):
         cfg = self.cfg
         b = pano_ctx2.shape[0] // 2
@@ -512,11 +536,29 @@ class PanFusion:
             )
             eps_pano_u, eps_pano_c = jnp.split(eps_pano, 2, axis=0)
             eps_pano = eps_pano_u + cfg.guidance_scale * (eps_pano_c - eps_pano_u)
-            pano = ddim_step(self.schedule, eps_pano.astype(jnp.float32), t, pano.astype(jnp.float32)).astype(cfg.dtype)
+            step_rng = (
+                jax.random.fold_in(eta_rng, i) if cfg.ddim_eta > 0 else None
+            )
+            pano = ddim_step(
+                self.schedule, eps_pano.astype(jnp.float32), t,
+                pano.astype(jnp.float32),
+                prediction_type=cfg.prediction_type,
+                eta=cfg.ddim_eta,
+                rng=step_rng,
+            ).astype(cfg.dtype)
             if eps_pers is not None:
                 eps_u, eps_c = jnp.split(eps_pers, 2, axis=0)
                 eps_pers = eps_u + cfg.guidance_scale * (eps_c - eps_u)
-                pers = ddim_step(self.schedule, eps_pers.astype(jnp.float32), t, pers.astype(jnp.float32)).astype(cfg.dtype)
+                pers = ddim_step(
+                    self.schedule, eps_pers.astype(jnp.float32), t,
+                    pers.astype(jnp.float32),
+                    prediction_type=cfg.prediction_type,
+                    eta=cfg.ddim_eta,
+                    rng=(
+                        jax.random.fold_in(step_rng, 1)
+                        if step_rng is not None else None
+                    ),
+                ).astype(cfg.dtype)
             return (pers, pano, cond), None
 
         carry, _ = jax.lax.scan(step, carry, i0 + jnp.arange(n_steps))

@@ -21,7 +21,7 @@ import optax
 
 from ..models.epp import build_epp_sites_batched
 from ..models.panfusion import PanFusion
-from ..nn.scheduler import add_noise
+from ..nn.scheduler import add_noise, velocity_target
 from .params import default_trainable, merge_params, partition_params
 
 
@@ -209,11 +209,24 @@ def make_loss_fn(model: PanFusion):
             pers_mid_residual=pers_mid,
             pano_mid_residual=pano_mid,
         )
+        if cfg.prediction_type == "v_prediction":
+            # v-target (Salimans & Ho 2022; required with zero-SNR
+            # schedules — see nn/scheduler.py make_ddim_schedule)
+            pano_target = velocity_target(
+                model.schedule, pano_latent, pano_noise, t
+            )
+            pers_target = velocity_target(
+                model.schedule, latents, noise, t[:, None]
+            )
+        else:
+            pano_target, pers_target = pano_noise, noise
         loss_pano = jnp.mean(
-            (pano_denoise.astype(jnp.float32) - pano_noise) ** 2
+            (pano_denoise.astype(jnp.float32) - pano_target) ** 2
         )
         if denoise is not None:
-            loss_pers = jnp.mean((denoise.astype(jnp.float32) - noise) ** 2)
+            loss_pers = jnp.mean(
+                (denoise.astype(jnp.float32) - pers_target) ** 2
+            )
         else:
             loss_pers = jnp.zeros(())
         loss = loss_pers + loss_pano
