@@ -445,8 +445,15 @@ class PanFusion:
         phi = jnp.asarray(phi)
 
         # init_noise is jitted with cached tracing (a fresh jax.jit wrapper
-        # per call would re-trace the e2p warp on every inference)
-        rng, eta_rng = jax.random.split(rng)
+        # per call would re-trace the e2p warp on every inference).
+        # Only fork an eta stream when it will be consumed: an unconditional
+        # split would change the init-noise stream for a given seed and
+        # silently break sample reproducibility vs evidence recorded at the
+        # default ddim_eta=0 (ADVICE r3).
+        if cfg.ddim_eta > 0.0:
+            rng, eta_rng = jax.random.split(rng)
+        else:
+            eta_rng = None
         pano_latent, pers_latents = self.init_noise(
             rng, b, (eh, ew), (pr, pr), theta, phi
         )
@@ -625,9 +632,20 @@ class PanFusion:
         params = self.init_params(jax.random.PRNGKey(seed))
         params = cast_params(params, self.cfg.dtype)
         if ckpt_path:
-            from ..train.checkpoints import CheckpointManager, warm_start_params
+            from ..train.checkpoints import (CheckpointManager,
+                                             check_schedule_meta,
+                                             schedule_meta_of,
+                                             warm_start_params)
 
-            ckpt = CheckpointManager(os.path.dirname(os.path.abspath(ckpt_path)))
+            ckpt_dir = os.path.dirname(os.path.abspath(ckpt_path))
+            # sampling interprets the net's output via cfg.prediction_type;
+            # loading an eps-trained tree under a v-pred config decodes
+            # garbage with no error — warn loudly (ADVICE r3)
+            check_schedule_meta(
+                ckpt_dir, schedule_meta_of(self.cfg), strict=False,
+                context="inference checkpoint",
+            )
+            ckpt = CheckpointManager(ckpt_dir)
             loaded = ckpt.restore_raw(os.path.basename(ckpt_path))
             if loaded is None:
                 print(f"WARNING: checkpoint {ckpt_path} not found; random init")

@@ -133,20 +133,27 @@ def ddim_step(sched: DDIMSchedule, model_output, t, sample,
             raise ValueError("eta > 0 requires an rng for the noise term")
         var = (1.0 - alpha_prev) / (1.0 - alpha_t) * (1.0 - alpha_t / alpha_prev)
         sigma = eta * jnp.sqrt(jnp.maximum(var, 0.0))
+        # the t=0 boundary (prev_t < 0) takes no stochastic term; clamp
+        # BEFORE computing the deterministic direction so the final sample
+        # keeps the full sqrt(1-a_prev) coefficient (an unclamped sigma^2
+        # here would under-scale the last step's direction term)
+        sigma = jnp.where(prev_t >= 0, sigma, 0.0)
         direction = jnp.sqrt(
             jnp.maximum(1.0 - alpha_prev - sigma**2, 0.0)
         ) * pred_eps
         noise = jax.random.normal(rng, sample.shape, jnp.float32)
-        # the t=0 boundary (prev_t < 0) takes no stochastic term
-        sigma = jnp.where(prev_t >= 0, sigma, 0.0)
         return jnp.sqrt(alpha_prev) * pred_x0 + direction + sigma * noise
     direction = jnp.sqrt(1.0 - alpha_prev) * pred_eps
     return jnp.sqrt(alpha_prev) * pred_x0 + direction
 
 
 def velocity_target(sched: DDIMSchedule, sample, noise, t):
-    """v-prediction target (unused by SD2-base but part of the scheduler
-    surface): v = sqrt(acp) eps - sqrt(1-acp) x0."""
+    """v-prediction training target: v = sqrt(acp) eps - sqrt(1-acp) x0.
+
+    This is the live loss target whenever cfg.prediction_type ==
+    'v_prediction' (train/loop.py selects it; the demo preset resolves to
+    v-prediction since the zero-SNR fix). SD2-base itself is
+    eps-parameterized and never uses it."""
     acp = sched.alphas_cumprod[t]
     while acp.ndim < sample.ndim:
         acp = acp[..., None]

@@ -84,8 +84,12 @@ def fit(
     seed: int = 0,
     warm_start: Optional[str] = None,
 ):
-    from .train.checkpoints import CheckpointManager, warm_start_params
+    from .train.checkpoints import (CheckpointManager, check_schedule_meta,
+                                    schedule_meta_of, warm_start_params)
 
+    sched_meta = schedule_meta_of(
+        getattr(model, "cfg", None), objective=train_cfg.objective
+    )
     params = model.init_params(jax.random.PRNGKey(seed))
     if warm_start:
         # warm-start fit from a prior run's checkpoint (reference
@@ -93,7 +97,16 @@ def fit(
         # the ControlNet stage from the text-to-pano weights)
         from .models.panfusion import _param_trees_of_checkpoint
 
-        ckpt0 = CheckpointManager(os.path.dirname(os.path.abspath(warm_start)))
+        warm_dir = os.path.dirname(os.path.abspath(warm_start))
+        # warn-only: warm-starting across objectives is legitimate (e.g.
+        # stage-0 vae_recon -> diffusion), but the schedule fields must
+        # still be surfaced when they differ
+        check_schedule_meta(
+            warm_dir,
+            {k: v for k, v in sched_meta.items() if k != "objective"},
+            strict=False, context="warm-start checkpoint",
+        )
+        ckpt0 = CheckpointManager(warm_dir)
         loaded = ckpt0.restore_raw(os.path.basename(warm_start))
         if loaded is None:
             print(f"WARNING: warm-start checkpoint {warm_start} not found")
@@ -162,6 +175,10 @@ def fit(
     gc.collect()
     ckpt = CheckpointManager(os.path.join(logger.save_dir, "checkpoints"))
     if resume and ckpt.exists("last"):
+        # strict: silently continuing an epsilon-trained run under a
+        # v-prediction config (or vice versa) trains against garbage targets
+        check_schedule_meta(ckpt.ckpt_dir, sched_meta, strict=True,
+                            context="resume checkpoint")
         restored = ckpt.restore(state, "last")
         if restored is not None:
             state = restored
@@ -177,6 +194,9 @@ def fit(
                     jax.device_put(state.step, replicated(mesh)),
                 )
             print(f"Resumed from step {int(state.step)}")
+    from .train.checkpoints import write_schedule_meta
+
+    write_schedule_meta(ckpt.ckpt_dir, sched_meta)
 
     if train_cfg.objective == "vae_recon":
         from .train.loop import make_vae_loss_fn

@@ -116,6 +116,71 @@ class CheckpointManager:
         return os.path.exists(self._path(name))
 
 
+SCHEDULE_META = "schedule_meta.json"
+_SCHEDULE_KEYS = ("prediction_type", "timestep_spacing", "zero_snr")
+
+
+def schedule_meta_of(cfg, objective: Optional[str] = None) -> Dict[str, Any]:
+    """The noise-schedule/objective fields a checkpoint's weights are bound
+    to. Checkpoints carry no intrinsic record of the objective they were
+    trained with, so resuming an epsilon-trained tree under a v-prediction
+    config (or vice versa) silently interprets the net's outputs in the
+    wrong parameterization and samples garbage (ADVICE r3). The sidecar
+    makes the mismatch loud."""
+    meta: Dict[str, Any] = {}
+    for k in _SCHEDULE_KEYS:
+        if hasattr(cfg, k):
+            v = getattr(cfg, k)
+            meta[k] = bool(v) if k == "zero_snr" else v
+    if objective is not None:
+        meta["objective"] = objective
+    return meta
+
+
+def write_schedule_meta(ckpt_dir: str, meta: Dict[str, Any]) -> None:
+    import json
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    with open(os.path.join(ckpt_dir, SCHEDULE_META), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def check_schedule_meta(
+    ckpt_dir: str, expected: Dict[str, Any], strict: bool = False,
+    context: str = "checkpoint",
+) -> Optional[Dict[str, Any]]:
+    """Compare a checkpoint dir's recorded schedule against the live config.
+    Missing sidecar (pre-metadata checkpoints) passes silently. strict=True
+    raises on mismatch (resume-fit: continuing an eps run as v-pred corrupts
+    the run); strict=False warns (predict/warm-start: may be deliberate)."""
+    import json
+
+    path = os.path.join(ckpt_dir, SCHEDULE_META)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        saved = json.load(f)
+    mismatched = {
+        k: (saved[k], v)
+        for k, v in expected.items()
+        if k in saved and saved[k] != v
+    }
+    if mismatched:
+        desc = ", ".join(
+            f"{k}: checkpoint={s!r} vs config={c!r}"
+            for k, (s, c) in sorted(mismatched.items())
+        )
+        msg = (
+            f"{context} at {ckpt_dir} was trained with a different "
+            f"objective/schedule ({desc}); its weights' outputs would be "
+            f"misinterpreted under the current config"
+        )
+        if strict:
+            raise ValueError(msg)
+        print(f"WARNING: {msg}")
+    return saved
+
+
 def _rebuild_like(target, restored):
     """Re-attach ``target``'s container types to an orbax numpy restore:
     orbax serializes NamedTuples (TrainState, optax states) as dicts keyed

@@ -126,6 +126,22 @@ def test_ddim_eta_interpolates_ddpm():
         ddim_step(s, eps, 501, xt, eta=1.0)
 
 
+def test_ddim_eta_final_step_matches_deterministic():
+    """At the terminal step (prev_t < 0) the stochastic term is dropped:
+    sigma must be clamped BEFORE the deterministic direction so the last
+    sample keeps the full sqrt(1-a_prev) coefficient — eta>0 and eta=0
+    must agree exactly there (ADVICE r3: an unclamped sigma^2 under-scaled
+    the final direction term)."""
+    s = make_ddim_schedule(50)
+    rng = np.random.default_rng(7)
+    x0 = jnp.asarray(rng.normal(size=(1, 4, 4, 4)).astype(np.float32))
+    eps = jnp.asarray(rng.normal(size=x0.shape).astype(np.float32))
+    xt = add_noise(s, x0, eps, jnp.asarray([1]))  # prev_t = 1-20 < 0
+    det = ddim_step(s, eps, 1, xt)
+    sto = ddim_step(s, eps, 1, xt, eta=1.0, rng=jax.random.PRNGKey(5))
+    np.testing.assert_allclose(np.asarray(sto), np.asarray(det), atol=1e-6)
+
+
 def test_schedule_auto_resolves_per_preset():
     """'auto' schedule fields resolve per preset — demo (from-scratch)
     gets v_prediction/trailing/zero-SNR, sd2 keeps diffusers parity —
