@@ -27,9 +27,16 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_max_isa" not in flags:
+    # Portable cache entries: XLA:CPU AOT blobs record the compile machine's
+    # feature set and refuse to load on hosts lacking any of them (observed:
+    # avx512/prefer-no-scatter entries from one CI host spamming
+    # cpu_aot_loader errors + forcing cold recompiles on the next). Pinning
+    # the ISA to the AVX2 baseline makes /root/.jax_cache entries loadable
+    # across x86 hosts at a small single-run cost.
+    flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import pathlib
 import sys

@@ -9,12 +9,19 @@ under logs/. These tests assert the committed curves actually demonstrate
 learning — a regression here means a future change silently broke one of the
 training recipes that produced them.
 
-Runs covered (each skipped if its artifacts are absent, e.g. a fresh clone
-before the demo recipes in README.md have been re-run):
-  logs/synfaed       — FAED autoencoder recon (fit --model=FAED)
-  logs/synhorizon    — HorizonNet bon/cor fit + held-out layout IoU
-  logs/synpano_vae   — stage-0 VAE recon pretrain (--trainer.objective=vae_recon)
-  logs/synpano_diff  — PanFusion dual-branch diffusion fit (demo preset)
+Evidence contract (round-3 VERDICT Next #2): logs/EVIDENCE.json lists every
+artifact the repo CLAIMS as demonstrated. A listed artifact that is missing
+or empty FAILS its test — deleting manifest-listed evidence turns the suite
+red. Artifacts never yet produced are not listed and their tests skip until
+the producing recipe runs.
+
+Runs covered:
+  logs/synfaed         — FAED autoencoder recon (fit --model=FAED)
+  logs/synhorizon      — HorizonNet bon/cor fit + held-out layout IoU
+  logs/synpano_vae     — stage-0 VAE recon pretrain (--trainer.objective=vae_recon)
+  logs/synpano_diff    — PanFusion dual-branch diffusion fit (v-pred demo preset)
+  logs/synpano_diff_eps — round-3 postmortem record: the epsilon/leaky-schedule
+                          run that converged (loss 0.046) yet sampled noise
 """
 import json
 import os
@@ -24,10 +31,41 @@ import pytest
 LOGS = os.path.join(os.path.dirname(__file__), os.pardir, "logs")
 
 
-def _load_metrics(run):
-    path = os.path.join(LOGS, run, "metrics.jsonl")
+def _manifest():
+    path = os.path.join(LOGS, "EVIDENCE.json")
     if not os.path.isfile(path):
-        pytest.skip(f"no committed metrics for {run} (run the demo recipe first)")
+        return set()
+    return set(json.load(open(path))["artifacts"])
+
+
+def _evidence_path(rel):
+    """Resolve an artifact path under logs/. Listed in EVIDENCE.json and
+    absent/empty -> FAIL; absent and unlisted -> skip (never produced)."""
+    path = os.path.join(LOGS, rel)
+    listed = rel in _manifest()
+    exists = os.path.isfile(path) and os.path.getsize(path) > 0
+    if not exists:
+        if listed:
+            pytest.fail(
+                f"logs/{rel} is listed in logs/EVIDENCE.json but is missing "
+                f"or empty — committed evidence was deleted or never flushed")
+        pytest.skip(f"no committed {rel} (run the producing recipe first)")
+    return path
+
+
+def test_every_manifest_artifact_exists():
+    """The meta-gate: all EVIDENCE.json claims must be backed by committed,
+    non-empty files."""
+    missing = [
+        rel for rel in sorted(_manifest())
+        if not (os.path.isfile(os.path.join(LOGS, rel))
+                and os.path.getsize(os.path.join(LOGS, rel)) > 0)
+    ]
+    assert not missing, f"manifest-listed evidence missing/empty: {missing}"
+
+
+def _load_metrics(run):
+    path = _evidence_path(f"{run}/metrics.jsonl")
     rows = [json.loads(line) for line in open(path) if line.strip()]
     assert rows, f"{run}/metrics.jsonl is empty"
     return rows
@@ -68,8 +106,7 @@ class TestFAEDRun:
         assert lr[-1][1] < lr[0][1], "synfaed: LR schedule never decayed"
 
     def test_recon_panel_committed(self):
-        if not os.path.isfile(os.path.join(LOGS, "synfaed", "recon_samples.png")):
-            pytest.skip("no committed recon panel")
+        _evidence_path("synfaed/recon_samples.png")
 
 
 class TestHorizonNetRun:
@@ -81,9 +118,7 @@ class TestHorizonNetRun:
     def test_heldout_layout_iou(self):
         """tools/horizon_eval.py on held-out synthetic layouts (the
         reference's eval_general.py contract, external/HorizonNet)."""
-        path = os.path.join(LOGS, "synhorizon_eval", "summary.json")
-        if not os.path.isfile(path):
-            pytest.skip("no committed horizon eval summary")
+        path = _evidence_path("synhorizon_eval/summary.json")
         summary = json.load(open(path))
         assert summary["2D_IoU"] > 0.6, summary
         assert summary["3D_IoU"] > 0.55, summary
@@ -96,11 +131,7 @@ class TestVAEPretrainRun:
                           "train/recon_pano", "synpano_vae", factor=0.4)
 
     def test_val_panels_committed(self):
-        media = os.path.join(LOGS, "synpano_vae", "media")
-        if not os.path.isdir(media):
-            pytest.skip("no committed media")
-        names = os.listdir(media)
-        assert any(n.startswith("val_vae_recon") for n in names), names
+        _evidence_path("synpano_vae/media/val_vae_recon_0_600.png")
 
 
 class TestDiffusionRun:
@@ -140,10 +171,12 @@ class TestDiffusionRun:
         assert any(n.startswith("val_pano_pred") for n in names), names
 
     def test_predict_panels_are_not_noise(self):
-        """Round-2 failure mode: eps-loss converged while every generated
-        panorama decoded to high-frequency color noise. Gate directly on the
-        committed predict images: natural/synthetic room renders have small
-        neighbor-pixel gradients; uint8 noise averages ~85."""
+        """Round-2/3 failure modes: eps-loss converged while samples decoded
+        to (r2) high-frequency noise (mean |dx| ~85) or (r3) low-frequency
+        mush (~4.3). The synthetic-room renders themselves are
+        near-piecewise-constant (GT mean |dx| ~0.4), so gate at 3.0 — an
+        order of magnitude under noise, above the GT floor, below mush
+        (calibrated in TestEpsPostmortemRecord against committed panels)."""
         import glob
 
         import numpy as np
@@ -156,17 +189,59 @@ class TestDiffusionRun:
         for p in paths:
             img = np.asarray(Image.open(p).convert("L"), np.float32)
             grad = np.abs(np.diff(img, axis=1)).mean()
-            assert grad < 30.0, (
+            assert grad < 3.0, (
                 f"{p}: mean |dx| {grad:.1f} — generated panel looks like "
-                "noise (uint8 noise ~85, rendered rooms < 30)")
+                "noise/mush (uint8 noise ~85, r3 mush ~4.3, rendered "
+                "rooms ~0.4)")
 
     def test_faed_sample_quality_gate(self):
         """Trained-FAED(GT, samples) must be far below FAED(GT, noise)
         (tools/faed_distance.py --noise_floor, run by
         scripts/run_eval_suite.sh with the trained weights/faed model)."""
-        path = os.path.join(LOGS, "synpano_diff", "faed_gate.json")
-        if not os.path.isfile(path):
-            pytest.skip("no committed faed gate")
+        path = _evidence_path("synpano_diff/faed_gate.json")
         gate = json.load(open(path))
         assert gate["trained_weights"], "gate ran with a random encoder"
         assert gate["FAED_gen"] < 0.5 * gate["FAED_noise"], gate
+
+
+class TestEpsPostmortemRecord:
+    """The round-3 zero-SNR diagnosis as checked evidence (VERDICT r3 Weak
+    #3): the epsilon/leading run (logs/synpano_diff_eps) CONVERGED its loss
+    yet its committed step-10000 sample decodes to noise, while the GT panel
+    from the same val step is clean. This pair is what motivates the
+    v-prediction + zero-SNR + trailing demo preset (nn/scheduler.py:49-63);
+    if either half stops holding, the preset's justification is stale."""
+
+    def test_eps_loss_converged(self):
+        rows = _load_metrics("synpano_diff_eps")
+        loss = _series(rows, "train/loss")
+        assert len(loss) > 100, "postmortem record truncated"
+        head = _mean([v for _, v in loss[:10]])
+        tail = _mean([v for _, v in loss[-10:]])
+        # per-step batch-4 loss is noisy; the record shows ~1.0 -> ~0.1
+        assert tail < 0.2 * head and tail < 0.15, (
+            f"the eps run's recorded loss no longer shows convergence "
+            f"(head {head:.3f} -> tail {tail:.3f})")
+
+    def test_eps_sample_is_mush_but_gt_is_clean(self):
+        """The synthetic-room GT renders are near-piecewise-constant (mean
+        |dx| ~0.4 gray levels); the eps run's converged sample is
+        low-frequency mush an order of magnitude rougher (~4.3) with weak
+        GT correlation. NOTE this is exactly why a plain 'grad < 30' noise
+        gate is insufficient: mush passes it — sample-quality gates must
+        compare against the GT's own statistics."""
+        import numpy as np
+        from PIL import Image
+
+        def lum(rel):
+            return np.asarray(
+                Image.open(_evidence_path(rel)).convert("L"), np.float32)
+
+        pred = lum("synpano_diff_eps/media/val_pano_pred_0_10000.png")
+        gt = lum("synpano_diff_eps/media/val_pano_gt_0_10000.png")
+        g_pred = float(np.abs(np.diff(pred, axis=1)).mean())
+        g_gt = float(np.abs(np.diff(gt, axis=1)).mean())
+        assert g_gt < 1.5, f"gt grad {g_gt:.2f}: GT render should be smooth"
+        assert g_pred > 5.0 * g_gt, (
+            f"pred grad {g_pred:.2f} vs gt {g_gt:.2f}: the committed eps "
+            "sample no longer looks like mush — postmortem inconsistent")
