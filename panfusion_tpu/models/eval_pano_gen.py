@@ -41,6 +41,10 @@ from .prompts import PromptConfig, get_pano_prompt, get_pers_prompt
 class EvalConfig:
     log_test_samples: int = 50  # reference EvalPanoGen.py:21
     num_eval_crops: int = 20
+    # 299x299 is the inception input contract (reference EvalPanoGen.py:100
+    # resizes crops for FID/IS); overridable so unit tests can exercise the
+    # crop/variant paths without paying 299x299 resample compiles on CPU
+    crop_hw: tuple = (299, 299)
     pano_height: int = 512
     faed_ckpt: str = os.path.join("weights", "faed")
     horizonnet_ckpt: str = os.path.join("weights", "horizonnet")
@@ -117,6 +121,7 @@ class EvalPanoGen:
             )
             ckpt = CheckpointManager(self.cfg.faed_ckpt)
             restored = ckpt.restore(variables)
+            self._faed_trained = restored is not None
             if restored is not None:
                 variables = restored
             else:
@@ -198,8 +203,8 @@ class EvalPanoGen:
         # random 90°-FoV crops at 299x299 — EvalPanoGen.py:99-116
         theta, phi = random_sample_camera(cfg.num_eval_crops, self._rng)
         theta, phi = np.rad2deg(theta), np.rad2deg(phi)
-        M["crop_FID"].update(_crops_uint8(pano_gt, theta, phi, (299, 299)), real=True)
-        gen_crops = _crops_uint8(pano_gen, theta, phi, (299, 299))
+        M["crop_FID"].update(_crops_uint8(pano_gt, theta, phi, tuple(cfg.crop_hw)), real=True)
+        gen_crops = _crops_uint8(pano_gen, theta, phi, tuple(cfg.crop_hw))
         M["crop_FID"].update(gen_crops, real=False)
         M["crop_IS"].update(gen_crops)
 
@@ -208,9 +213,9 @@ class EvalPanoGen:
         theta_s = np.full(cfg.num_eval_crops, 180.0, np.float32)
         phi_s = np.rad2deg(phi_s)
         M["seam_FID"].update(
-            _crops_uint8(pano_gt, theta_s, phi_s, (299, 299)), real=True
+            _crops_uint8(pano_gt, theta_s, phi_s, tuple(cfg.crop_hw)), real=True
         )
-        seam_crops = _crops_uint8(pano_gen, theta_s, phi_s, (299, 299))
+        seam_crops = _crops_uint8(pano_gen, theta_s, phi_s, tuple(cfg.crop_hw))
         M["seam_FID"].update(seam_crops, real=False)
         M["seam_IS"].update(seam_crops)
 
@@ -218,9 +223,9 @@ class EvalPanoGen:
         theta_h, phi_h = horizon_sample_camera(8)
         theta_h, phi_h = np.rad2deg(theta_h), np.rad2deg(phi_h)
         M["mv_FID"].update(
-            _crops_uint8(pano_gt, theta_h, phi_h, (299, 299)), real=True
+            _crops_uint8(pano_gt, theta_h, phi_h, tuple(cfg.crop_hw)), real=True
         )
-        mv_crops = _crops_uint8(pano_gen, theta_h, phi_h, (299, 299))
+        mv_crops = _crops_uint8(pano_gen, theta_h, phi_h, tuple(cfg.crop_hw))
         M["mv_FID"].update(mv_crops, real=False)
         M["mv_IS"].update(mv_crops)
         if pers_prompt is not None:
@@ -274,6 +279,11 @@ class EvalPanoGen:
                 out[key] = metric.compute()
         if self._faed is not None and self._faed.update_called:
             out["FAED"] = self._faed.compute()
+            # evidence trail: whether the FAED feature encoder was the
+            # trained weights/faed model or the random-init fallback —
+            # a summary claiming sample quality must be checkable on this
+            out["FAED_trained_weights"] = float(
+                getattr(self, "_faed_trained", False))
         if self._layout is not None and getattr(self._layout, "update_called", False):
             out["3D_IoU"], out["2D_IoU"] = self._layout.compute()
         if logger is not None:

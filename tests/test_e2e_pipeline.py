@@ -99,6 +99,7 @@ class TestDatasetContract:
         assert batch["horizon_layout"]["bon"].shape == (1, 2, 128)
         assert batch["horizon_layout"]["cor"].shape == (1, 1, 128)
 
+    @pytest.mark.slow  # drives the full eval harness over saved results, ~7.5 min cold
     def test_results_roundtrip_and_eval(self, mp3d_tree, tmp_path, monkeypatch):
         """Save fake generations in the results layout, reload them through
         the dataset, and score with the harness."""

@@ -55,6 +55,7 @@ def _seam_broken(imgs):
     return out
 
 
+@pytest.mark.slow  # two inception-sized FID batteries, ~9 min cold on 1-CPU XLA
 class TestFIDPower:
     def test_fid_monotone_under_blur(self):
         from panfusion_tpu.metrics.image_metrics import (

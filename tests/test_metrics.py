@@ -143,7 +143,12 @@ class TestEvalHarness:
             lambda: lambda texts: np.ones((len(texts), 512)),
         )
 
-        cfg = EvalConfig(pano_height=64, num_eval_crops=3, layout_metric=False)
+        # crop_hw shrunk from the 299x299 inception contract: this test
+        # exercises the crop/variant CODE PATHS with stubbed extractors, and
+        # the 299x299 resample compiles alone cost ~10 min cold on 1-CPU
+        # XLA:CPU (r3 VERDICT Next #7)
+        cfg = EvalConfig(pano_height=64, num_eval_crops=3, layout_metric=False,
+                         crop_hw=(32, 32))
         ev = EvalPanoGen(cfg)
         ev._faed = _FakeFaed()
 

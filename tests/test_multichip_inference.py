@@ -6,6 +6,13 @@ import pytest
 
 from panfusion_tpu.models import PanFusion, PanFusionConfig
 
+# slow tier: the session fixture compiles full sharded inference on the
+# 8-virtual-device CPU mesh (~8 min cold on 1 CPU). The driver's
+# __graft_entry__.dryrun_multichip exercises the sharded compile+execute
+# path every round; the sharded==single numeric pins live here and in
+# test_multichip_train_parity (also slow).
+pytestmark = pytest.mark.slow
+
 TINY = dict(
     pano_height=64,
     pers_resolution=64,

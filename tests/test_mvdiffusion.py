@@ -59,6 +59,7 @@ def test_homography_maps_shared_ray():
     assert 20 < my < 44, my
 
 
+@pytest.mark.slow  # compiles the full MvDiffusion sampling loop, ~4.5 min cold
 def test_inference_end_to_end(tiny_model):
     import jax
 

@@ -389,6 +389,7 @@ def test_panfusion_config_latent_normalization_plumbs_to_vae():
     assert PanFusion(cfg2).vae.latent_scale == SD_VAE_SCALING_FACTOR
 
 
+@pytest.mark.slow  # orbax save/restore around jitted VAE encodes, ~5 min cold
 def test_latent_calibration_rides_the_checkpoint(tmp_path):
     """fit-with-flags -> checkpoint -> load WITHOUT flags must restore the
     calibrated normalization (the silent-garbage footgun: predict with a

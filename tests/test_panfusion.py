@@ -78,6 +78,7 @@ def test_correlated_noise_init(model_and_params):
     assert vv <= pv
 
 
+@pytest.mark.slow  # compiles a full (tiny) train step, ~6 min cold on 1-CPU XLA
 def test_train_step_decreases_nothing_but_runs(model_and_params):
     model, params = model_and_params
     cfg = TrainConfig(steps_per_epoch=10)
