@@ -28,6 +28,7 @@ cp -r logs/synfaed/checkpoints/last weights/faed/last
 
 echo "=== 2. HorizonNet fit ($HN_EPOCHS epochs) ==="
 WANDB_RUN_ID=synhorizon python -m panfusion_tpu.cli fit --model=HorizonNet $DATA \
+  --data.layout_anno_dir=data/SyntheticRooms/annotations \
   --data.pano_height=512 --data.batch_size=4 \
   --data.horizon_layout=true --data.rand_rot_img=true \
   --model.max_epochs=$HN_EPOCHS
