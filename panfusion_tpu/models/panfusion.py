@@ -652,6 +652,11 @@ class PanFusion:
             else:
                 for tree in _param_trees_of_checkpoint(loaded):
                     params = warm_start_params(params, tree)
+            # checkpoint leaves come back as HOST numpy; without an explicit
+            # placement every inference call re-transfers the full tree
+            # host->device (slow over a tunnel, and transfer buffers pile up
+            # across samples — see runner.fit's resume note)
+            params = jax.device_put(params)
         return params
 
     def run_eval(self, datamodule, logger, args):

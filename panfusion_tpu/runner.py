@@ -193,6 +193,16 @@ def fit(
                     jax.device_put(state.opt_state, replicated(mesh)),
                     jax.device_put(state.step, replicated(mesh)),
                 )
+            else:
+                # restore returns HOST numpy leaves. trainable/opt_state are
+                # replaced by device outputs after the first step, but FROZEN
+                # leaves are never written again — leaving them numpy makes
+                # every subsequent step re-transfer the full frozen tree
+                # host->device. Observed on the tunneled v5e: a resumed fit
+                # ran 35% slower and leaked host transfer buffers until the
+                # OOM killer took it at 130 GB RSS (~9k steps). Place the
+                # whole state on device once instead.
+                state = jax.device_put(state)
             print(f"Resumed from step {int(state.step)}")
     from .train.checkpoints import write_schedule_meta
 

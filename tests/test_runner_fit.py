@@ -77,6 +77,16 @@ def test_fit_step_checkpoint_resume(tiny_model, tmp_path):
     state2 = fit(tiny_model, dm, tc2, logger2, max_steps=2, seed=0)
     assert int(state2.step) == 2
 
+    # restored FROZEN leaves must be device arrays, not the host numpy that
+    # orbax returns: numpy frozen leaves are never overwritten by the train
+    # step, so every step would re-transfer the full frozen tree
+    # host->device (observed: 35% slower resumed steps + host-buffer leak
+    # to OOM on the tunneled chip)
+    import jax as _jax
+
+    for leaf in _jax.tree.leaves(state2.frozen):
+        assert isinstance(leaf, _jax.Array), type(leaf)
+
     # eval-side load: the fit-saved TrainState must restore into a plain
     # param tree (test/predict --ckpt_path after fit)
     import jax
