@@ -54,9 +54,9 @@ def main():
         names = [l.strip() for l in
                  open(os.path.join(args.data_dir, "lo_test.txt"))
                  if l.strip()][:2]
-    assert len(names) == 2, names
+    assert len(names) >= 2, names
 
-    # Load the two rooms through the real data pipeline (the probe must see
+    # Load the N rooms through the real data pipeline (the probe must see
     # exactly the distance-map normalization training saw).
     dm = Matterport3D(
         data_dir=args.data_dir,
@@ -72,7 +72,7 @@ def main():
         item = ds[i]
         if item["pano_id"] in names:
             by_id[item["pano_id"]] = item
-        if len(by_id) == 2:
+        if len(by_id) == len(names):
             break
     assert set(by_id) == set(names), (sorted(by_id), names)
     items = [by_id[n] for n in names]

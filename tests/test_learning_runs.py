@@ -204,6 +204,21 @@ class TestDiffusionRun:
         assert gate["FAED_gen"] < 0.5 * gate["FAED_noise"], gate
 
 
+class TestLayoutConditioning:
+    """Learned layout conditioning, made falsifiable (reference two-stage
+    recipe README.md:215): generations from the SAME prompt + SAME noise
+    under different layout distance maps, scored by the TRAINED HorizonNet
+    against each conditioning room's GT layout. Matched IoU must beat
+    crossed IoU on the committed 4-room (16-pair) contrast."""
+
+    def test_matched_beats_crossed(self):
+        path = _evidence_path("synpano_cn/contrast4/contrast.json")
+        c = json.load(open(path))
+        assert len(c["rooms"]) >= 4 and len(c["pairs"]) >= 16, c["rooms"]
+        assert c["matched_2DIoU_mean"] > c["crossed_2DIoU_mean"], c
+        assert c["conditioning_wins"] is True
+
+
 class TestEpsPostmortemRecord:
     """The round-3 zero-SNR diagnosis as checked evidence (VERDICT r3 Weak
     #3): the epsilon/leading run (logs/synpano_diff_eps) CONVERGED its loss
