@@ -106,13 +106,24 @@ def bias_attention(q, k, v, bias=None, force_xla: bool = False):
             # NOTE: read at TRACE time — once a jitted caller has compiled,
             # changing the env has no effect (the jit cache keys on the
             # traced graph, not the env); set them before first compilation.
-            bq = pick(n, int(os.environ.get("PANFUSION_FLASH_BQ", "512")))
+            # defaults tuned end-to-end on the v5e (round 4): bench.py at
+            # (bq, bk) = (512,512) 9.57, (1024,512) 9.71, (128,1024) 9.03
+            # panos/min — per-op tunnel microbenchmarks are unreliable
+            # (async-ack artifacts), so caps are selected by whole-pipeline
+            # wall-clock only (BASELINE.md round-4 section)
+            bq = pick(n, int(os.environ.get("PANFUSION_FLASH_BQ", "1024")))
             bk = pick(m, int(os.environ.get("PANFUSION_FLASH_BK", "512")))
+            # backward blocks stay at the round-1 512 cap (separately
+            # env-tunable): the bwd kernels hold dq/dkv accumulators on top
+            # of q/k/v tiles, so the fwd-optimal 1024 costs VMEM headroom
+            # there without a measured win (tune_flash_blocks.py --grad)
+            bqb = pick(n, int(os.environ.get("PANFUSION_FLASH_BQ_BWD", "512")))
+            bkb = pick(m, int(os.environ.get("PANFUSION_FLASH_BK_BWD", "512")))
             block = BlockSizes(
                 block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
-                block_q_major_dkv=bq, block_k_major_dkv=bk,
-                block_k_dkv=bk, block_q_dkv=bq,
-                block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+                block_q_major_dkv=bqb, block_k_major_dkv=bkb,
+                block_k_dkv=bkb, block_q_dkv=bqb,
+                block_k_major_dq=bkb, block_k_dq=bkb, block_q_dq=bqb,
             )
             # the kernel computes (q@k^T + ab) * sm_scale — to match the
             # xformers/jax.nn convention q@k^T/sqrt(d) + bias, fold the
