@@ -62,6 +62,57 @@ class TimestepEmbedding(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(x)
 
 
+class FastGroupNorm(nn.Module):
+    """TPU-native GroupNorm, numerically equivalent to flax nn.GroupNorm.
+
+    flax's implementation reshapes (..., C) to (..., G, C/G) and reduces the
+    trailing pair — splitting the 128-wide TPU lane axis into C/G-wide
+    slivers (10 wide for SD2's 320-channel levels), which XLA services with
+    relayouts and latency-bound partial reductions: measured 18% of the
+    whole denoise step (BASELINE.md round 4). This formulation never splits
+    the lane axis:
+      1. per-CHANNEL spatial sums of x and x^2 (layout-friendly reduce),
+      2. channel->group aggregation as a tiny (C, G) 0/1 matmul (MXU),
+      3. group stats broadcast back per channel via (G, C), then one
+         per-channel affine pass.
+    Parameters are identical to nn.GroupNorm ('scale'/'bias' of shape (C,))
+    so existing checkpoints and converters are unaffected; autodiff works
+    natively (no custom kernel)."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        import numpy as np
+
+        c = x.shape[-1]
+        g = self.num_groups
+        assert c % g == 0, (c, g)
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        spatial_axes = tuple(range(1, x.ndim - 1))
+        cnt = float(np.prod(x.shape[1:-1]) * (c // g))
+        s1 = jnp.sum(xf, spatial_axes)        # (N, C)
+        s2 = jnp.sum(xf * xf, spatial_axes)   # (N, C)
+        # channel i belongs to group i // (C/G) (flax reshape order)
+        member = jnp.asarray(
+            np.kron(np.eye(g), np.ones((c // g, 1))), jnp.float32
+        )  # (C, G)
+        mean = (s1 @ member) / cnt            # (N, G)
+        var = (s2 @ member) / cnt - mean * mean
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        mean_c = mean @ member.T              # (N, C)
+        inv_c = inv @ member.T
+        w = inv_c * scale[None]
+        b = bias[None] - mean_c * w
+        bshape = (x.shape[0],) + (1,) * len(spatial_axes) + (c,)
+        y = xf * w.reshape(bshape) + b.reshape(bshape)
+        return y.astype(self.dtype)
+
+
 class GroupNorm(nn.Module):
     """GroupNorm over the channel (last) axis of NHWC tensors."""
 
@@ -71,8 +122,11 @@ class GroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.GroupNorm(
-            num_groups=self.num_groups, epsilon=self.epsilon, dtype=self.dtype
+        # name pinned to the auto-name the old nn.GroupNorm child got, so
+        # checkpoint param paths are unchanged
+        return FastGroupNorm(
+            num_groups=self.num_groups, epsilon=self.epsilon,
+            dtype=self.dtype, name="GroupNorm_0",
         )(x)
 
 
@@ -247,7 +301,7 @@ class SpatialTransformer(nn.Module):
     def __call__(self, x, context=None):
         b, h, w, c = x.shape
         residual = x
-        x = nn.GroupNorm(num_groups=_num_groups(c), epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        x = FastGroupNorm(num_groups=_num_groups(c), epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         x = x.reshape(b, h * w, c)
         x = nn.Dense(self.heads * self.dim_head, dtype=self.dtype, name="proj_in")(x)
         for i in range(self.depth):
@@ -274,7 +328,7 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, temb=None):
         residual = x
-        h = nn.GroupNorm(num_groups=_num_groups(x.shape[-1]), epsilon=self.epsilon, dtype=self.dtype, name="norm1")(x)
+        h = FastGroupNorm(num_groups=_num_groups(x.shape[-1]), epsilon=self.epsilon, dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         if temb is not None:
@@ -282,7 +336,7 @@ class ResnetBlock(nn.Module):
                 nn.silu(temb)
             )
             h = h + t[:, None, None, :]
-        h = nn.GroupNorm(num_groups=_num_groups(self.out_channels), epsilon=self.epsilon, dtype=self.dtype, name="norm2")(h)
+        h = FastGroupNorm(num_groups=_num_groups(self.out_channels), epsilon=self.epsilon, dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if residual.shape[-1] != self.out_channels:

@@ -21,6 +21,7 @@ from flax import linen as nn
 
 from .layers import (
     Downsample,
+    FastGroupNorm,
     ResnetBlock,
     SpatialTransformer,
     TimestepEmbedding,
@@ -224,7 +225,7 @@ class UNet2DCondition(nn.Module):
 
         from .layers import _num_groups
 
-        self.conv_norm_out = nn.GroupNorm(
+        self.conv_norm_out = FastGroupNorm(
             num_groups=_num_groups(ch[0]), epsilon=1e-5, dtype=self.dtype,
             name="conv_norm_out",
         )

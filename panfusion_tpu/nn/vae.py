@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import Downsample, ResnetBlock, Upsample, _num_groups
+from .layers import (Downsample, FastGroupNorm, ResnetBlock,
+                     Upsample, _num_groups)
 
 SD_VAE_SCALING_FACTOR = 0.18215
 
@@ -33,7 +34,7 @@ class VAEAttention(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         residual = x
-        x = nn.GroupNorm(num_groups=_num_groups(c), epsilon=1e-6, dtype=self.dtype, name="group_norm")(x)
+        x = FastGroupNorm(num_groups=_num_groups(c), epsilon=1e-6, dtype=self.dtype, name="group_norm")(x)
         x = x.reshape(b, h * w, c)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(x)
@@ -64,7 +65,7 @@ class Encoder(nn.Module):
         x = ResnetBlock(ch[-1], epsilon=1e-6, dtype=self.dtype, name="mid_res_0")(x)
         x = VAEAttention(ch[-1], dtype=self.dtype, name="mid_attn")(x)
         x = ResnetBlock(ch[-1], epsilon=1e-6, dtype=self.dtype, name="mid_res_1")(x)
-        x = nn.GroupNorm(num_groups=_num_groups(x.shape[-1]), epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(x)
+        x = FastGroupNorm(num_groups=_num_groups(x.shape[-1]), epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(x)
         x = nn.silu(x)
         x = nn.Conv(2 * self.latent_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
         # diffusers applies an extra 1x1 quant_conv
@@ -91,7 +92,7 @@ class Decoder(nn.Module):
                 x = ResnetBlock(c, epsilon=1e-6, dtype=self.dtype, name=f"up_{i}_res_{j}")(x)
             if i < len(ch) - 1:
                 x = Upsample(c, dtype=self.dtype, name=f"up_{i}_upsample")(x)
-        x = nn.GroupNorm(num_groups=_num_groups(x.shape[-1]), epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(x)
+        x = FastGroupNorm(num_groups=_num_groups(x.shape[-1]), epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(x)
         x = nn.silu(x)
         return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
 

@@ -178,6 +178,40 @@ def test_ddim_final_step_recovers_x0():
     np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
 
 
+def test_fast_group_norm_matches_flax():
+    """FastGroupNorm (lane-friendly stats-by-matmul formulation) must be
+    numerically equivalent to flax nn.GroupNorm for every production shape
+    class: NHWC 4-D, 3-D token tensors, C%32==0 and tiny-config group
+    counts, and non-trivial scale/bias."""
+    from flax import linen as nn
+
+    from panfusion_tpu.nn.layers import FastGroupNorm
+
+    rng = np.random.default_rng(11)
+    for shape, groups in [((2, 8, 16, 64), 32), ((3, 5, 7, 20), 4),
+                          ((2, 24, 96), 32), ((1, 4, 4, 8), 8)]:
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32) * 3 + 1)
+        fast = FastGroupNorm(num_groups=groups)
+        ref = nn.GroupNorm(num_groups=groups)
+        vf = fast.init(jax.random.PRNGKey(0), x)
+        # non-trivial affine params, shared by both modules
+        sc = jnp.asarray(rng.normal(size=shape[-1]).astype(np.float32))
+        bi = jnp.asarray(rng.normal(size=shape[-1]).astype(np.float32))
+        pf = {"params": {"scale": sc, "bias": bi}}
+        out_fast = fast.apply(pf, x)
+        out_ref = ref.apply(pf, x)
+        np.testing.assert_allclose(
+            np.asarray(out_fast), np.asarray(out_ref), atol=2e-5, rtol=2e-5)
+    # bf16 path: dtype cast points must agree too
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 64)).astype(np.float32))
+    fast = FastGroupNorm(num_groups=32, dtype=jnp.bfloat16)
+    ref = nn.GroupNorm(num_groups=32, dtype=jnp.bfloat16)
+    p = fast.init(jax.random.PRNGKey(0), x)
+    a = np.asarray(fast.apply(p, x.astype(jnp.bfloat16)), np.float32)
+    b = np.asarray(ref.apply(p, x.astype(jnp.bfloat16)), np.float32)
+    np.testing.assert_allclose(a, b, atol=1e-2)
+
+
 # ------------------------------------------------------------- embeddings
 def test_timestep_embedding_shape_and_flip():
     emb = timestep_embedding(jnp.asarray([0.0, 10.0]), 8)
