@@ -28,8 +28,11 @@ python scripts/probe_guidance.py --ckpt logs/synpano_diff/checkpoints/last \
 echo "=== stage 1.5: predict panels from the trained model ==="
 WANDB_RUN_ID=synpano_diff python -m panfusion_tpu.cli predict $COMMON \
   --data.batch_size=1 --data.repeat_predict=1 --data.predict_limit=6 \
-  --model.diff_timestep=50 ${PREDICT_EXTRA:-} \
+  --model.diff_timestep=50 \
+  ${PREDICT_EXTRA:---model.guidance_scale=2} \
   --ckpt_path=logs/synpano_diff/checkpoints/last || true
+# guidance 2 is the FAED-selected scale for the from-scratch demo preset
+# (BASELINE.md round-4 sample-quality table); override via PREDICT_EXTRA
 
 echo "=== stage 2: layout-conditioned ControlNet fit ($CN_EPOCHS epochs) ==="
 WANDB_RUN_ID=synpano_cn python -m panfusion_tpu.cli fit $COMMON \
