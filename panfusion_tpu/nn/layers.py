@@ -102,7 +102,12 @@ class FastGroupNorm(nn.Module):
             np.kron(np.eye(g), np.ones((c // g, 1))), jnp.float32
         )  # (C, G)
         mean = (s1 @ member) / cnt            # (N, G)
-        var = (s2 @ member) / cnt - mean * mean
+        # E[x^2]-mu^2 cancels catastrophically for near-constant features
+        # with large means (|mu|^2 * 2^-23 can exceed epsilon), going
+        # slightly NEGATIVE -> rsqrt = NaN. Observed: finite-loss resume of
+        # the trained demo checkpoint went NaN in one step; random-weight
+        # benches never trip it. Clamp like flax's _compute_stats does.
+        var = jnp.maximum((s2 @ member) / cnt - mean * mean, 0.0)
         inv = jax.lax.rsqrt(var + self.epsilon)
         mean_c = mean @ member.T              # (N, C)
         inv_c = inv @ member.T

@@ -202,6 +202,17 @@ def test_fast_group_norm_matches_flax():
         out_ref = ref.apply(pf, x)
         np.testing.assert_allclose(
             np.asarray(out_fast), np.asarray(out_ref), atol=2e-5, rtol=2e-5)
+    # near-constant features with a large mean: E[x^2]-mu^2 cancellation
+    # goes slightly negative in f32; without the clamp rsqrt returns NaN
+    # (observed resuming the trained demo checkpoint — random-weight tests
+    # never trip it)
+    xc = jnp.full((2, 16, 16, 64), 37.125, jnp.float32)
+    xc = xc + jnp.asarray(rng.normal(size=xc.shape).astype(np.float32)) * 1e-4
+    fast = FastGroupNorm(num_groups=32)
+    p = fast.init(jax.random.PRNGKey(0), xc)
+    out = np.asarray(fast.apply(p, xc))
+    assert np.isfinite(out).all(), "NaN on near-constant large-mean input"
+
     # bf16 path: dtype cast points must agree too
     x = jnp.asarray(rng.normal(size=(2, 8, 8, 64)).astype(np.float32))
     fast = FastGroupNorm(num_groups=32, dtype=jnp.bfloat16)
