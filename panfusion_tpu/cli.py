@@ -30,7 +30,7 @@ def _coerce(value: str, current):
         return int(value)
     if isinstance(current, float):
         return float(value)
-    if current is None:
+    if current is None or current == "auto":
         for cast in (int, float):
             try:
                 return cast(value)
@@ -91,12 +91,14 @@ def build_model(name: str, overrides: Dict[str, str], data_hparams=None):
             cfg.pano_height = data_hparams.pano_height
             cfg.pers_resolution = data_hparams.pers_resolution
             cfg.fov = float(data_hparams.fov)
-        # re-arm the per-preset "auto" schedule fields (the constructor
-        # already resolved them for the default preset; a --model.preset
-        # override must re-resolve them unless the user pinned them)
+        # re-arm the per-preset "auto" schedule + sampling fields (the
+        # constructor already resolved them for the default preset; a
+        # --model.preset override must re-resolve them unless the user
+        # pinned them)
         cfg.prediction_type, cfg.timestep_spacing, cfg.zero_snr = (
             "auto", "auto", None,
         )
+        cfg.guidance_scale = "auto"
         apply_overrides(cfg, {**_env_overrides("model"), **overrides}, "model")
         cfg.__post_init__()  # re-expand preset after overrides
         return PanFusion(cfg)
@@ -149,7 +151,19 @@ def main(argv=None):
     parser.add_argument("--ckpt_path", default=None)
     parser.add_argument("--max_steps", type=int, default=None)
     parser.add_argument("--seed", type=int, default=0)
+    # escape hatch for the strict inference-time prediction_type check
+    # (panfusion.load_or_init_params): sampling an eps-trained tree under a
+    # v-pred config decodes garbage, so a mismatch is an error unless the
+    # caller explicitly says it is deliberate
+    parser.add_argument("--allow_schedule_mismatch", action="store_true")
+    # pin host CPU (conftest-style; the env var alone is overridden by the
+    # axon sitecustomize) — for tunnel-less hosts and CPU smoke drives
+    parser.add_argument("--cpu", action="store_true")
     args, unknown = parser.parse_known_args(argv)
+    if args.cpu or os.environ.get("PANFUSION_CPU", "") == "1":
+        from . import force_cpu
+
+        force_cpu()
 
     overrides = {}
     for tok in unknown:

@@ -69,8 +69,13 @@ class PanFusionConfig:
     pers_resolution: int = 256
     fov: float = 90.0
     num_views: int = 20
-    # diffusion (reference defaults: models/pano/PanoGenerator.py:61-79)
-    guidance_scale: float = 9.0
+    # diffusion (reference defaults: models/pano/PanoGenerator.py:61-79).
+    # guidance_scale "auto" resolves per preset in __post_init__: the SD2
+    # convention is 9.0 (reference PanoGenerator.py:64), but the from-scratch
+    # demo preset oversaturates there — the round-4 FAED sweep (BASELINE.md)
+    # selected 2.0 (0.513x noise vs 0.672x at 9.0), so the demo preset
+    # defaults to the scale every committed artifact was generated with.
+    guidance_scale: Any = "auto"
     diff_timestep: int = 50
     latent_pad: int = 8
     rot_diff: float = 90.0
@@ -114,6 +119,9 @@ class PanFusionConfig:
 
     def __post_init__(self):
         demo = self.preset == "demo"
+        if self.guidance_scale == "auto":
+            self.guidance_scale = 2.0 if demo else 9.0
+        self.guidance_scale = float(self.guidance_scale)
         if self.prediction_type == "auto":
             self.prediction_type = "v_prediction" if demo else "epsilon"
         if self.timestep_spacing == "auto":
@@ -628,7 +636,8 @@ class PanFusion:
             warm_start=getattr(args, "ckpt_path", None),
         )
 
-    def load_or_init_params(self, ckpt_path=None, seed: int = 0):
+    def load_or_init_params(self, ckpt_path=None, seed: int = 0,
+                            allow_schedule_mismatch: bool = False):
         params = self.init_params(jax.random.PRNGKey(seed))
         params = cast_params(params, self.cfg.dtype)
         if ckpt_path:
@@ -640,10 +649,14 @@ class PanFusion:
             ckpt_dir = os.path.dirname(os.path.abspath(ckpt_path))
             # sampling interprets the net's output via cfg.prediction_type;
             # loading an eps-trained tree under a v-pred config decodes
-            # garbage with no error — warn loudly (ADVICE r3)
+            # garbage with no error signal — a prediction_type mismatch is
+            # an ERROR at inference (ADVICE r4); spacing/zero_snr stay
+            # warnings (legitimately swept at sampling time)
             check_schedule_meta(
                 ckpt_dir, schedule_meta_of(self.cfg), strict=False,
                 context="inference checkpoint",
+                strict_keys=() if allow_schedule_mismatch
+                else ("prediction_type",),
             )
             ckpt = CheckpointManager(ckpt_dir)
             loaded = ckpt.restore_raw(os.path.basename(ckpt_path))
@@ -663,7 +676,9 @@ class PanFusion:
         from ..runner import predict as run_predict
 
         params = self.load_or_init_params(
-            getattr(args, "ckpt_path", None), getattr(args, "seed", 0)
+            getattr(args, "ckpt_path", None), getattr(args, "seed", 0),
+            allow_schedule_mismatch=getattr(
+                args, "allow_schedule_mismatch", False),
         )
         mode = "predict" if args.command == "predict" else "test"
         ext = "jpg" if mode == "predict" else "png"

@@ -204,9 +204,10 @@ def fit(
                 # whole state on device once instead.
                 state = jax.device_put(state)
             print(f"Resumed from step {int(state.step)}")
-    from .train.checkpoints import write_schedule_meta
-
-    write_schedule_meta(ckpt.ckpt_dir, sched_meta)
+    # the sidecar is written alongside each save (CheckpointManager.save),
+    # never eagerly: writing it at fit start would relabel an existing
+    # `last` trained under a different schedule (ADVICE r4)
+    ckpt.schedule_meta = sched_meta
 
     if train_cfg.objective == "vae_recon":
         from .train.loop import make_vae_loss_fn

@@ -36,6 +36,11 @@ class CheckpointManager:
         # multi-GB serialization
         self._last_save = time.time()
         self._ckptr = ocp.StandardCheckpointer()
+        # schedule sidecar written WITH each save, not at fit start: a fresh
+        # fit into a directory holding an older `last` (or one that crashes
+        # before its first save) must not relabel the old weights with the
+        # new config's schedule (ADVICE r4)
+        self.schedule_meta: Optional[Dict[str, Any]] = None
 
     def _path(self, name: str) -> str:
         return os.path.join(self.ckpt_dir, name)
@@ -51,6 +56,8 @@ class CheckpointManager:
         if os.path.exists(path):
             shutil.rmtree(path)
         os.rename(tmp, path)
+        if self.schedule_meta is not None:
+            write_schedule_meta(self.ckpt_dir, self.schedule_meta)
         self._last_save = time.time()
 
     def maybe_save(self, state, name: str = "last") -> bool:
@@ -147,12 +154,16 @@ def write_schedule_meta(ckpt_dir: str, meta: Dict[str, Any]) -> None:
 
 def check_schedule_meta(
     ckpt_dir: str, expected: Dict[str, Any], strict: bool = False,
-    context: str = "checkpoint",
+    context: str = "checkpoint", strict_keys: tuple = (),
 ) -> Optional[Dict[str, Any]]:
     """Compare a checkpoint dir's recorded schedule against the live config.
     Missing sidecar (pre-metadata checkpoints) passes silently. strict=True
-    raises on mismatch (resume-fit: continuing an eps run as v-pred corrupts
-    the run); strict=False warns (predict/warm-start: may be deliberate)."""
+    raises on any mismatch (resume-fit: continuing an eps run as v-pred
+    corrupts the run); strict=False warns (warm-start: may be deliberate).
+    ``strict_keys`` raise even under strict=False — inference has no
+    legitimate use for a prediction_type mismatch (it decodes garbage with
+    no other signal, ADVICE r4), so load_or_init_params escalates that one
+    key unless --allow_schedule_mismatch is passed."""
     import json
 
     path = os.path.join(ckpt_dir, SCHEDULE_META)
@@ -175,8 +186,11 @@ def check_schedule_meta(
             f"objective/schedule ({desc}); its weights' outputs would be "
             f"misinterpreted under the current config"
         )
-        if strict:
-            raise ValueError(msg)
+        if strict or any(k in mismatched for k in strict_keys):
+            raise ValueError(
+                msg + " (pass --allow_schedule_mismatch to override)"
+                if not strict else msg
+            )
         print(f"WARNING: {msg}")
     return saved
 

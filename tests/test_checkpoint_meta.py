@@ -54,3 +54,39 @@ def test_schedule_meta_handles_missing_cfg():
     # models without schedule fields (FAED, HorizonNet) record nothing
     assert schedule_meta_of(None) == {}
     assert schedule_meta_of(object()) == {}
+
+
+def test_strict_keys_escalate_under_lenient(tmp_path, capsys):
+    # inference has no legitimate use for a prediction_type mismatch
+    # (ADVICE r4): strict_keys raise even with strict=False, and the error
+    # names the escape hatch; other mismatched keys still just warn
+    write_schedule_meta(str(tmp_path), schedule_meta_of(_Cfg()))
+    eps = schedule_meta_of(_Cfg(prediction_type="epsilon"))
+    with pytest.raises(ValueError, match="allow_schedule_mismatch"):
+        check_schedule_meta(str(tmp_path), eps, strict=False,
+                            strict_keys=("prediction_type",))
+    spacing = schedule_meta_of(_Cfg(timestep_spacing="leading"))
+    check_schedule_meta(str(tmp_path), spacing, strict=False,
+                        strict_keys=("prediction_type",))
+    assert "WARNING" in capsys.readouterr().out
+
+
+def test_sidecar_written_at_save_time_not_fit_start(tmp_path):
+    # ADVICE r4: a fresh fit into a directory holding an older `last`
+    # trained under a different schedule must NOT relabel the old weights
+    # before its own first save
+    import numpy as np
+
+    from panfusion_tpu.train.checkpoints import CheckpointManager
+
+    old = schedule_meta_of(_Cfg(prediction_type="epsilon", zero_snr=False))
+    write_schedule_meta(str(tmp_path), old)
+    ckpt = CheckpointManager(str(tmp_path))
+    ckpt.schedule_meta = schedule_meta_of(_Cfg())  # the NEW config
+    # no save yet: the sidecar still describes the old weights
+    assert check_schedule_meta(str(tmp_path), old, strict=True) == old
+    ckpt.save({"w": np.zeros(2)}, "last")
+    # first successful save: sidecar now matches the saved weights
+    assert check_schedule_meta(
+        str(tmp_path), ckpt.schedule_meta, strict=True
+    ) == ckpt.schedule_meta

