@@ -26,8 +26,55 @@ from .inception import (
 )
 
 
+class FeatureExtractor:
+    """The FID/IS feature slot: preprocess + jitted (features, class-probs).
+
+    kind is one of 'inception' (real pretrained weights), 'roomnet'
+    (trained synthetic-rooms stand-in — see metrics/roomnet.py), or
+    'inception-random' (seeded random fallback; pipeline-valid, values
+    informationless)."""
+
+    def __init__(self, run, preprocess, feat_dim: int, kind: str):
+        self.run = run
+        self.preprocess = preprocess
+        self.feat_dim = feat_dim
+        self.kind = kind
+
+    def __call__(self, imgs_uint8: np.ndarray):
+        return self.run(jnp.asarray(self.preprocess(imgs_uint8)))
+
+
 @functools.lru_cache(maxsize=1)
-def _inception_fn():
+def _feature_extractor() -> FeatureExtractor:
+    """Auto-switch (same precedent as the trained FAED / TinyCaptioner):
+    real Inception weights when present > trained RoomNet stand-in >
+    random Inception (load_inception_variables warns)."""
+    import os
+
+    from .inception import WEIGHTS_PATH as INCEPTION_WEIGHTS
+    from .roomnet import WEIGHTS_PATH as ROOMNET_WEIGHTS
+
+    if (not os.path.exists(INCEPTION_WEIGHTS)
+            and os.path.exists(ROOMNET_WEIGHTS)):
+        from .roomnet import (FEAT_DIM, RoomNet, load_roomnet,
+                              roomnet_preprocess, split_logits)
+
+        net = RoomNet()
+        variables = load_roomnet(ROOMNET_WEIGHTS)
+
+        @jax.jit
+        def run_room(v, x):
+            feats, logits = net.apply(v, x)
+            wall, _, _, _ = split_logits(logits)
+            return feats, jax.nn.softmax(wall, axis=-1)
+
+        print("FID/IS feature slot: trained RoomNet stand-in "
+              f"({ROOMNET_WEIGHTS})")
+        return FeatureExtractor(
+            functools.partial(run_room, variables), roomnet_preprocess,
+            FEAT_DIM, "roomnet",
+        )
+
     net = make_inception()
     variables = load_inception_variables(net)
 
@@ -38,17 +85,61 @@ def _inception_fn():
         feats, logits = net.apply(v, x)
         return feats, jax.nn.softmax(logits, axis=-1)
 
-    return functools.partial(run, variables)
+    kind = ("inception" if os.path.exists(INCEPTION_WEIGHTS)
+            else "inception-random")
+    return FeatureExtractor(
+        functools.partial(run, variables), inception_preprocess, 2048, kind
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _clip_slot_kind() -> str:
+    """Which towers the CLIP-Score slot runs: real converted CLIP weights >
+    trained TinyCLIP stand-in (metrics/tinyclip.py) > random CLIP. The
+    image and text fns MUST agree (they share one joint embedding space),
+    so both consult this single decision."""
+    import os
+
+    from .tinyclip import WEIGHTS_PATH as TINYCLIP_WEIGHTS
+
+    if (os.path.exists(os.path.join("weights", "clip_vision.npz"))
+            and os.path.exists(os.path.join("weights", "clip_text.npz"))):
+        return "clip"
+    if os.path.exists(TINYCLIP_WEIGHTS):
+        print(f"CLIP-Score slot: trained TinyCLIP stand-in "
+              f"({TINYCLIP_WEIGHTS})")
+        return "tinyclip"
+    return "clip-random"
+
+
+@functools.lru_cache(maxsize=1)
+def _tinyclip():
+    from .tinyclip import (TinyCLIPImage, TinyCLIPText, load_tinyclip)
+
+    img_vars, txt_vars, _ = load_tinyclip()
+    img_net, txt_net = TinyCLIPImage(), TinyCLIPText()
+    run_img = jax.jit(lambda v, x: img_net.apply(v, x))
+    run_txt = jax.jit(lambda v, ids: txt_net.apply(v, ids))
+    return (functools.partial(run_img, img_vars),
+            functools.partial(run_txt, txt_vars))
 
 
 @functools.lru_cache(maxsize=1)
 def _clip_fns():
     """image_embed_fn for CLIP-Score; weights from weights/clip_vision.npz
-    when present (tools/convert_ckpt.py), else seeded random."""
+    when present (tools/convert_ckpt.py), else the trained TinyCLIP
+    stand-in, else seeded random."""
     import os
 
     from ..nn.clip import CLIPVisionModel, clip_image_preprocess  # noqa: F401
     from .inception import _unflatten_into
+
+    if _clip_slot_kind() == "tinyclip":
+        from .tinyclip import tinyclip_image_preprocess
+
+        run = _tinyclip()[0]
+        return lambda imgs_uint8: run(
+            jnp.asarray(tinyclip_image_preprocess(np.asarray(imgs_uint8))))
 
     # ViT-B/16 — the tower of the reference's CLIPScore model id
     # 'openai/clip-vit-base-patch16' (EvalPanoGen.py:33)
@@ -63,7 +154,10 @@ def _clip_fns():
     if os.path.exists(path):
         variables = _unflatten_into(variables, dict(np.load(path)))
     run = jax.jit(lambda v, x: net.apply(v, x))
-    return functools.partial(run, variables)
+    # uint8-in contract: each tower owns its preprocessing (224 for CLIP,
+    # 128 for TinyCLIP) so ClipScore needn't know which is loaded
+    return lambda imgs_uint8: run(
+        variables, jnp.asarray(clip_image_preprocess(imgs_uint8)))
 
 
 @functools.lru_cache(maxsize=1)
@@ -79,6 +173,12 @@ def default_text_embed_fn():
     from ..nn.clip import CLIPTextModel
     from ..nn.tokenizer import load_tokenizer
     from .inception import _unflatten_into
+
+    if _clip_slot_kind() == "tinyclip":
+        from .tinyclip import hash_words
+
+        run = _tinyclip()[1]
+        return lambda texts: run(jnp.asarray(hash_words(list(texts))))
 
     # openai/clip-vit-base-patch16 text tower: 512 hidden, 12 layers, 8 heads
     net = CLIPTextModel(
@@ -116,23 +216,34 @@ class FrechetInceptionDistance:
     higher_is_better = False
 
     def __init__(self):
-        self._frechet = StreamingFrechet(2048)
+        # sized lazily to the active extractor's feat_dim (2048 Inception /
+        # 256 RoomNet) — constructing the extractor here would compile the
+        # tower once per metric instance at harness build time
+        self._frechet: Optional[StreamingFrechet] = None
         self.update_called = False
 
     def reset(self):
-        self._frechet.reset()
+        if self._frechet is not None:
+            self._frechet.reset()
         self.update_called = False
 
     def update(self, imgs_uint8: np.ndarray, real: bool):
-        feats, _ = _inception_fn()(jnp.asarray(inception_preprocess(imgs_uint8)))
+        feats, _ = _feature_extractor()(imgs_uint8)
+        if self._frechet is None:
+            self._frechet = StreamingFrechet(int(feats.shape[-1]))
         self._frechet.update(np.asarray(feats), real)
         self.update_called = True
 
     def merge_state(self, other):
-        self._frechet.merge_state(other._frechet)
+        if other._frechet is not None:
+            if self._frechet is None:
+                self._frechet = StreamingFrechet(other._frechet.num_features)
+            self._frechet.merge_state(other._frechet)
         self.update_called = self.update_called or other.update_called
 
     def compute(self) -> float:
+        if self._frechet is None:
+            self._frechet = StreamingFrechet(_feature_extractor().feat_dim)
         return self._frechet.compute()
 
 
@@ -150,7 +261,7 @@ class InceptionScore:
         self.update_called = False
 
     def update(self, imgs_uint8: np.ndarray):
-        _, probs = _inception_fn()(jnp.asarray(inception_preprocess(imgs_uint8)))
+        _, probs = _feature_extractor()(imgs_uint8)
         self._probs.append(np.asarray(probs, np.float64))
         self.update_called = True
 
@@ -197,11 +308,7 @@ class ClipScore:
         self.update_called = False
 
     def update(self, imgs_uint8: np.ndarray, prompts: List[str]):
-        from ..nn.clip import clip_image_preprocess
-
-        img_emb = np.asarray(
-            _clip_fns()(jnp.asarray(clip_image_preprocess(imgs_uint8)))
-        )
+        img_emb = np.asarray(_clip_fns()(imgs_uint8))
         if self.text_embed_fn is None:
             self.text_embed_fn = default_text_embed_fn()
         txt_emb = np.asarray(self.text_embed_fn(list(prompts)))

@@ -277,6 +277,19 @@ class EvalPanoGen:
                 out[key], out[f"{key}_std"] = metric.compute()
             else:
                 out[key] = metric.compute()
+        if any(("FID" in k or "IS" in k) and metric.update_called
+               for k, metric in self.eval_metrics.items()):
+            # evidence trail (same contract as FAED_trained_weights below):
+            # which feature net produced the FID/IS family — real Inception,
+            # the trained RoomNet stand-in, or the random fallback
+            from ..metrics.image_metrics import _feature_extractor
+
+            out["fid_feature_slot"] = _feature_extractor().kind
+        if any(k.endswith("CS") and metric.update_called
+               for k, metric in self.eval_metrics.items()):
+            from ..metrics.image_metrics import _clip_slot_kind
+
+            out["cs_feature_slot"] = _clip_slot_kind()
         if self._faed is not None and self._faed.update_called:
             out["FAED"] = self._faed.compute()
             # evidence trail: whether the FAED feature encoder was the
@@ -307,7 +320,10 @@ class EvalPanoGen:
         for batch_idx, batch in enumerate(loader):
             self.test_step(batch, batch_idx, logger)
         metrics = self.on_test_end(logger)
-        print("test metrics:", {k: round(v, 4) for k, v in metrics.items()})
+        print("test metrics:", {
+            k: round(v, 4) if isinstance(v, float) else v
+            for k, v in metrics.items()
+        })
         return metrics
 
     def fit(self, *a, **k):

@@ -97,6 +97,19 @@ class PanFusionConfig:
     zero_snr: Any = None
     ddim_eta: float = 0.0
     pano_pad: bool = True
+    # pole-aware vertical pad for VAE encode/decode: the width-circular pad
+    # trick (reference PanoGenerator.py:227-238) fixes the seam but leaves
+    # the zenith/nadir rows against the convs' zero padding, which is where
+    # the round-4 decoder halo lives (BASELINE.md: the VAE-recon probe shows
+    # the artifact is the VAE's). The correct equirect continuation past a
+    # pole is the image flipped vertically and rotated 180°; padding with it
+    # pushes the zero-pad boundary a full receptive field beyond the poles.
+    # Default False: on the round-4 600-step VAE the A/B probe
+    # (scripts/probe_pole_pad.py, logs/synpano_vae/pole_pad_probe.json)
+    # measured it neutral (pole-band MAE -1%, overall +4%) — that halo is
+    # mostly undertraining, not edge padding. Kept as an opt-in flag to
+    # re-probe against better-trained VAEs.
+    pole_pad: Any = None
     layout_cond: bool = False
     pers_layout_cond: bool = False
     use_pers_branch: bool = True
@@ -128,6 +141,8 @@ class PanFusionConfig:
             self.timestep_spacing = "trailing" if demo else "leading"
         if self.zero_snr is None:
             self.zero_snr = demo
+        if self.pole_pad is None:
+            self.pole_pad = False
         if self.preset == "demo":
             # from-scratch synthetic-room demo (VERDICT r1 Next #3): towers
             # big enough to learn room structure at 256x512, small enough to
@@ -312,18 +327,42 @@ class PanFusion:
     def _vae_decode(self, vae_params, z):
         return self.vae.apply(vae_params, z, method=self.vae.decode)
 
+    @staticmethod
+    def _pole_pad(x: jnp.ndarray, p: int) -> jnp.ndarray:
+        """Pad the height axis with the equirect continuation across the
+        poles: rows beyond a pole are the nearest rows flipped vertically
+        and rotated 180° in yaw. Must run BEFORE the width-circular pad so
+        the 180° roll uses the true width."""
+        shift = x.shape[2] // 2
+        top = jnp.roll(x[:, :p][:, ::-1], shift, axis=2)
+        bot = jnp.roll(x[:, -p:][:, ::-1], shift, axis=2)
+        return jnp.concatenate([top, x, bot], axis=1)
+
     def encode_pano(self, params, pano: jnp.ndarray, rng) -> jnp.ndarray:
-        """(b, H, W, 3) -> (b, H/8, W/8, 4) latent with circular pad trick."""
+        """(b, H, W, 3) -> (b, H/8, W/8, 4) latent with circular pad trick
+        (+ pole-aware vertical pad when cfg.pole_pad)."""
         pad = self.cfg.latent_pad
-        x = jnp.concatenate([pano[:, :, -pad * 8 :], pano, pano[:, :, : pad * 8]], axis=2)
+        x = pano
+        if self.cfg.pole_pad:
+            x = self._pole_pad(x, pad * 8)
+        x = jnp.concatenate([x[:, :, -pad * 8 :], x, x[:, :, : pad * 8]], axis=2)
         z = self._vae_encode(params["vae"], x, rng)
-        return z[:, :, pad:-pad]
+        z = z[:, :, pad:-pad]
+        if self.cfg.pole_pad:
+            z = z[:, pad:-pad]
+        return z
 
     def decode_pano(self, params, latent: jnp.ndarray) -> jnp.ndarray:
         pad = self.cfg.latent_pad
-        z = jnp.concatenate([latent[:, :, -pad:], latent, latent[:, :, :pad]], axis=2)
+        z = latent
+        if self.cfg.pole_pad:
+            z = self._pole_pad(z, pad)
+        z = jnp.concatenate([z[:, :, -pad:], z, z[:, :, :pad]], axis=2)
         img = self._vae_decode(params["vae"], z)
-        return img[:, :, pad * 8 : -pad * 8]
+        img = img[:, :, pad * 8 : -pad * 8]
+        if self.cfg.pole_pad:
+            img = img[:, pad * 8 : -pad * 8]
+        return img
 
     def encode_views(self, params, images: jnp.ndarray, rng) -> jnp.ndarray:
         """(b, m, h, w, 3) -> (b, m, h/8, w/8, 4)."""

@@ -84,7 +84,7 @@ class FastGroupNorm(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_affine: bool = False):
         import numpy as np
 
         c = x.shape[-1]
@@ -113,6 +113,11 @@ class FastGroupNorm(nn.Module):
         inv_c = inv @ member.T
         w = inv_c * scale[None]
         b = bias[None] - mean_c * w
+        if return_affine:
+            # the folded per-(sample, channel) affine, for fusing the apply
+            # pass into a following matmul (ops/fused_ln.affine_matmul):
+            # GN(x) == x * w + b
+            return w, b
         bshape = (x.shape[0],) + (1,) * len(spatial_axes) + (c,)
         y = xf * w.reshape(bshape) + b.reshape(bshape)
         return y.astype(self.dtype)
@@ -133,6 +138,57 @@ class GroupNorm(nn.Module):
             num_groups=self.num_groups, epsilon=self.epsilon,
             dtype=self.dtype, name="GroupNorm_0",
         )(x)
+
+
+class _DenseParams(nn.Module):
+    """Parameter-only twin of nn.Dense: declares the identical param tree
+    (kernel [+ bias], f32, same initializers) WITHOUT computing, so callers
+    can fold adapters and fuse the matmul with a preceding LayerNorm
+    (ops/fused_ln.py). Checkpoint paths are unchanged — a module named
+    'base' here produces .../base/kernel exactly like an nn.Dense child."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        kernel = self.param(
+            "kernel", self.kernel_init, (in_dim, self.features)
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias else None
+        )
+        return kernel, bias
+
+
+class _LoRAKernel(nn.Module):
+    """Effective kernel of a LoRADense: W + A@B (scale 1, diffusers
+    LoRALinearLayer semantics). Folding is exact — x@W + (x@A)@B ==
+    x@(W + A@B) — and lets the q/k/v projections ride one fused
+    LayerNorm->matmul kernel; gradients flow to A/B through the fold.
+    Param tree identical to LoRADense (base/, lora_down/, lora_up/)."""
+
+    features: int
+    use_bias: bool = False
+    lora_rank: int = 0
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        k, b = _DenseParams(self.features, self.use_bias, name="base")(in_dim)
+        if self.lora_rank > 0:
+            a, _ = _DenseParams(
+                self.lora_rank, False,
+                kernel_init=nn.initializers.normal(1.0 / self.lora_rank),
+                name="lora_down",
+            )(in_dim)
+            u, _ = _DenseParams(
+                self.features, False, kernel_init=nn.initializers.zeros,
+                name="lora_up",
+            )(self.lora_rank)
+            k = k + a @ u
+        return k, b
 
 
 class LoRADense(nn.Module):
@@ -173,12 +229,32 @@ class LoRADense(nn.Module):
         return y
 
 
+class _LNParams(nn.Module):
+    """Parameter-only twin of nn.LayerNorm (scale/bias, flax defaults)."""
+
+    @nn.compact
+    def __call__(self, dim: int):
+        return (
+            self.param("scale", nn.initializers.ones, (dim,)),
+            self.param("bias", nn.initializers.zeros, (dim,)),
+        )
+
+
+# flax nn.LayerNorm default — the eps every checkpoint here trained with
+LN_EPS = 1e-6
+
+
 class CrossAttention(nn.Module):
     """Multi-head attention, self- or cross-, with optional additive bias.
 
     The bias is a dense float tensor broadcast over heads — the EPP mask
     contract (reference models/modules/transformer.py:57-74). Projections
-    optionally carry LoRA adapters.
+    optionally carry LoRA adapters (folded into the kernels — exact).
+
+    ``ln=(gamma, beta)``: fuse the caller's pre-LayerNorm into the q (and,
+    for self-attention, qkv) projection via ops/fused_ln.py — one HBM pass
+    instead of norm-write + matmul-read (the round-4 perf plan). Callers
+    that pre-normalize themselves (EPP's shared norm) pass ln=None.
     """
 
     query_dim: int
@@ -190,12 +266,33 @@ class CrossAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None, bias=None):
-        context = x if context is None else context
+    def __call__(self, x, context=None, bias=None, ln=None):
+        self_attn = context is None
+        src = x if self_attn else context
         inner = self.heads * self.dim_head
-        q = LoRADense(inner, False, self.lora_rank, self.dtype, name="to_q")(x)
-        k = LoRADense(inner, False, self.lora_rank, self.dtype, name="to_k")(context)
-        v = LoRADense(inner, False, self.lora_rank, self.dtype, name="to_v")(context)
+        dt = self.dtype
+        wq, _ = _LoRAKernel(inner, False, self.lora_rank, name="to_q")(
+            x.shape[-1])
+        wk, _ = _LoRAKernel(inner, False, self.lora_rank, name="to_k")(
+            src.shape[-1])
+        wv, _ = _LoRAKernel(inner, False, self.lora_rank, name="to_v")(
+            src.shape[-1])
+        if ln is not None and self_attn:
+            from ..ops.fused_ln import ln_matmul
+
+            w_qkv = jnp.concatenate([wq, wk, wv], axis=1).astype(dt)
+            qkv = ln_matmul(x, ln[0], ln[1], w_qkv, eps=LN_EPS)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        elif ln is not None:
+            from ..ops.fused_ln import ln_matmul
+
+            q = ln_matmul(x, ln[0], ln[1], wq.astype(dt), eps=LN_EPS)
+            k = src.astype(dt) @ wk.astype(dt)
+            v = src.astype(dt) @ wv.astype(dt)
+        else:
+            q = x.astype(dt) @ wq.astype(dt)
+            k = src.astype(dt) @ wk.astype(dt)
+            v = src.astype(dt) @ wv.astype(dt)
 
         b, n, _ = q.shape
         m = k.shape[1]
@@ -231,8 +328,17 @@ class GEGLU(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+    def __call__(self, x, ln=None):
+        wp, bp = _DenseParams(self.dim_out * 2, True, name="proj")(
+            x.shape[-1])
+        if ln is not None:
+            from ..ops.fused_ln import ln_matmul
+
+            h = ln_matmul(x, ln[0], ln[1], wp.astype(self.dtype), bp,
+                          eps=LN_EPS)
+        else:
+            h = (x.astype(self.dtype) @ wp.astype(self.dtype)
+                 + bp.astype(self.dtype))
         h, gate = jnp.split(h, 2, axis=-1)
         return h * nn.gelu(gate)
 
@@ -244,9 +350,9 @@ class FeedForward(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, ln=None):
         inner = int(self.dim * self.mult)
-        x = GEGLU(inner, dtype=self.dtype, name="net_0")(x)
+        x = GEGLU(inner, dtype=self.dtype, name="net_0")(x, ln=ln)
         out = nn.Dense(
             self.dim,
             dtype=self.dtype,
@@ -273,18 +379,21 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None):
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        # every pre-norm is fused into the projection it feeds
+        # (ops/fused_ln.py): the normalized activation never round-trips
+        # HBM. Param tree is unchanged (normN/{scale,bias} via _LNParams).
+        ln1 = _LNParams(name="norm1")(self.dim)
         x = x + CrossAttention(
             self.dim, self.heads, self.dim_head, None, self.lora_rank,
             dtype=self.dtype, name="attn1",
-        )(h)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        )(x, ln=ln1)
+        ln2 = _LNParams(name="norm2")(self.dim)
         x = x + CrossAttention(
             self.dim, self.heads, self.dim_head, self.context_dim,
             self.lora_rank, dtype=self.dtype, name="attn2",
-        )(h, context=context)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
-        x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+        )(x, context=context, ln=ln2)
+        ln3 = _LNParams(name="norm3")(self.dim)
+        x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(x, ln=ln3)
         return x
 
 
@@ -306,9 +415,20 @@ class SpatialTransformer(nn.Module):
     def __call__(self, x, context=None):
         b, h, w, c = x.shape
         residual = x
-        x = FastGroupNorm(num_groups=_num_groups(c), epsilon=1e-6, dtype=self.dtype, name="norm")(x)
-        x = x.reshape(b, h * w, c)
-        x = nn.Dense(self.heads * self.dim_head, dtype=self.dtype, name="proj_in")(x)
+        # entry GroupNorm fused into proj_in: stats via FastGroupNorm's
+        # affine fold (one read), apply+matmul in one Pallas pass — the
+        # normalized activation never lands in HBM
+        s, t = FastGroupNorm(
+            num_groups=_num_groups(c), epsilon=1e-6, dtype=self.dtype,
+            name="norm",
+        )(x, return_affine=True)
+        wp, bp = _DenseParams(self.heads * self.dim_head, True,
+                              name="proj_in")(c)
+        from ..ops.fused_ln import affine_matmul
+
+        x = affine_matmul(
+            x.reshape(b, h * w, c), s, t, wp.astype(self.dtype), bp
+        )
         for i in range(self.depth):
             x = TransformerBlock(
                 self.heads * self.dim_head, self.heads, self.dim_head,

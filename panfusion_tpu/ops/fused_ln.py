@@ -1,0 +1,268 @@
+"""Fused LayerNorm -> matmul Pallas kernel (the round-4 "mega-kernel" plan).
+
+Why: the denoise step is ~50% MXU-utilized and its headroom is the
+bandwidth-bound tail — 18.1% reduce/norm + 10.1% data movement of the
+traced step (BASELINE.md round 4 "ceiling analysis"). A standalone
+GroupNorm/LayerNorm is already at its bandwidth optimum (2 reads + 1 write;
+the round-4 FastGroupNorm experiment measured exactly that), so the only
+way to cut the tail is CROSS-OP fusion: every transformer block computes
+``LayerNorm(x) @ W`` (qkv / q / GEGLU projections), where XLA emits
+  stats-read(x) + normalize-read(x) + write(xn) + matmul-read(xn) + read(W)
+This kernel emits
+  read(x) + read(W)
+— the normalized activation never exists in HBM. Per site that removes two
+reads and one write of the token tensor (the pers branch's is 26 MB at
+level 0).
+
+Grid policy (one pass over x either way):
+  - W small (fits VMEM alongside a token block): 1-D grid over token
+    blocks, W resident; stats + normalize + dot per block.
+  - W large (C=1280 GEGLU/qkv): 1-D grid over feature blocks, the whole
+    token tensor resident (these sites have few tokens), normalized once
+    into scratch at f==0 and reused for every W block.
+
+Training support: jax.custom_vjp whose backward recomputes the forward
+with plain XLA ops and differentiates that (no hand-derived LN backward to
+get wrong; backward bandwidth is unchanged vs unfused).
+
+Reference analog: the reference runs these sites as separate torch
+LayerNorm + Linear CUDA kernels (external/MVDiffusion + diffusers
+BasicTransformerBlock; models/modules/transformer.py) — there is nothing
+to copy; this is TPU-native engineering on top of the Pallas guide's
+two-input matmul pattern.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# VMEM budget for choosing the grid policy (bytes). ~16 MB/core total;
+# leave room for double buffering and the output block.
+_W_RESIDENT_BUDGET = 6 * 1024 * 1024
+_X_RESIDENT_BUDGET = 6 * 1024 * 1024
+
+
+def ln_matmul_reference(x, gamma, beta, w, bias=None, eps: float = 1e-5):
+    """Plain-XLA reference: LayerNorm (f32 stats, flax nn.LayerNorm
+    contract) then matmul. Used for CPU fallback and the custom-vjp
+    backward recompute."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - mu * mu
+    xn = (xf - mu) * jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+    xn = xn * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    xn = xn.astype(x.dtype)
+    y = jnp.dot(xn, w, preferred_element_type=jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _normalize_block(x_ref, g_ref, b_ref, eps):
+    xf = x_ref[...].astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - mu * mu
+    xn = (xf - mu) * jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+    return xn * g_ref[...].astype(jnp.float32) + b_ref[...].astype(
+        jnp.float32)
+
+
+def _kernel_t_grid(x_ref, g_ref, b_ref, w_ref, o_ref, *, eps):
+    """Token-blocked: W resident, one block of tokens per grid step."""
+    xn = _normalize_block(x_ref, g_ref, b_ref, eps).astype(x_ref.dtype)
+    o_ref[...] = jnp.dot(
+        xn, w_ref[...], preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+def _kernel_f_grid(x_ref, g_ref, b_ref, w_ref, o_ref, xn_ref, *, eps):
+    """Feature-blocked: all tokens resident; normalize once at f == 0."""
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        xn_ref[...] = _normalize_block(x_ref, g_ref, b_ref, eps).astype(
+            xn_ref.dtype)
+
+    o_ref[...] = jnp.dot(
+        xn_ref[...], w_ref[...], preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+def _largest_divisor(n: int, cap: int) -> int:
+    for d in range(min(cap, n), 0, -1):
+        if n % d == 0:
+            return d
+    return n
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 6)
+)
+def _ln_matmul(x2d, gamma, beta, w, bias, eps: float, interpret: bool):
+    t, c = x2d.shape
+    f = w.shape[1]
+    itemsize = jnp.dtype(x2d.dtype).itemsize
+    w_bytes = c * f * jnp.dtype(w.dtype).itemsize
+    x_bytes = t * c * itemsize
+
+    if w_bytes <= _W_RESIDENT_BUDGET:
+        # token-blocked, W resident. Block height: largest divisor of t
+        # that keeps the f32 out block reasonable.
+        bt = _largest_divisor(t, max(1, (2 * 1024 * 1024) // (f * 4)))
+        out = pl.pallas_call(
+            functools.partial(_kernel_t_grid, eps=eps),
+            grid=(t // bt,),
+            in_specs=[
+                pl.BlockSpec((bt, c), lambda i: (i, 0)),
+                pl.BlockSpec((1, c), lambda i: (0, 0)),
+                pl.BlockSpec((1, c), lambda i: (0, 0)),
+                pl.BlockSpec((c, f), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((bt, f), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((t, f), x2d.dtype),
+            interpret=interpret,
+        )(x2d, gamma[None], beta[None], w)
+    elif x_bytes <= _X_RESIDENT_BUDGET:
+        # feature-blocked, tokens resident, normalized once into scratch
+        bf = _largest_divisor(f, max(1, _W_RESIDENT_BUDGET
+                                     // (c * jnp.dtype(w.dtype).itemsize)))
+        out = pl.pallas_call(
+            functools.partial(_kernel_f_grid, eps=eps),
+            grid=(f // bf,),
+            in_specs=[
+                pl.BlockSpec((t, c), lambda j: (0, 0)),
+                pl.BlockSpec((1, c), lambda j: (0, 0)),
+                pl.BlockSpec((1, c), lambda j: (0, 0)),
+                pl.BlockSpec((c, bf), lambda j: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((t, bf), lambda j: (0, j)),
+            out_shape=jax.ShapeDtypeStruct((t, f), x2d.dtype),
+            scratch_shapes=[pltpu.VMEM((t, c), x2d.dtype)],
+            interpret=interpret,
+        )(x2d, gamma[None], beta[None], w)
+    else:
+        # both operands huge (never hit at SD2 shapes) — XLA fallback
+        out = ln_matmul_reference(x2d, gamma, beta, w, None, eps)
+    if bias is not None:
+        out = (out.astype(jnp.float32) + bias.astype(jnp.float32)).astype(
+            x2d.dtype)
+    return out
+
+
+def _ln_matmul_fwd(x2d, gamma, beta, w, bias, eps, interpret):
+    return (_ln_matmul(x2d, gamma, beta, w, bias, eps, interpret),
+            (x2d, gamma, beta, w, bias))
+
+
+def _ln_matmul_bwd(eps, interpret, res, g):
+    x2d, gamma, beta, w, bias = res
+    _, vjp = jax.vjp(
+        lambda *a: ln_matmul_reference(*a, eps=eps), x2d, gamma, beta, w,
+        bias,
+    )
+    return vjp(g)
+
+
+_ln_matmul.defvjp(_ln_matmul_fwd, _ln_matmul_bwd)
+
+
+def _affine_matmul_kernel(x_ref, s_ref, t_ref, w_ref, o_ref):
+    xf = x_ref[0].astype(jnp.float32)
+    xn = (xf * s_ref[0].astype(jnp.float32)
+          + t_ref[0].astype(jnp.float32)).astype(x_ref.dtype)
+    o_ref[0] = jnp.dot(
+        xn, w_ref[...], preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+def affine_matmul_reference(x, s, t, w, bias=None):
+    y = jnp.einsum(
+        "btc,cf->btf",
+        (x.astype(jnp.float32) * s[:, None].astype(jnp.float32)
+         + t[:, None].astype(jnp.float32)).astype(x.dtype),
+        w, preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _affine_matmul(x, s, t, w, bias, interpret: bool):
+    b, tt, c = x.shape
+    f = w.shape[1]
+    if c * f * jnp.dtype(w.dtype).itemsize > _W_RESIDENT_BUDGET:
+        return affine_matmul_reference(x, s, t, w, bias)
+    bt = _largest_divisor(tt, max(1, (2 * 1024 * 1024) // (f * 4)))
+    out = pl.pallas_call(
+        _affine_matmul_kernel,
+        grid=(b, tt // bt),
+        in_specs=[
+            pl.BlockSpec((1, bt, c), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (i, 0)),
+            pl.BlockSpec((c, f), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bt, f), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, tt, f), x.dtype),
+        interpret=interpret,
+    )(x, s, t, w)
+    if bias is not None:
+        out = (out.astype(jnp.float32) + bias.astype(jnp.float32)).astype(
+            x.dtype)
+    return out
+
+
+def _affine_matmul_fwd(x, s, t, w, bias, interpret):
+    return _affine_matmul(x, s, t, w, bias, interpret), (x, s, t, w, bias)
+
+
+def _affine_matmul_bwd(interpret, res, g):
+    x, s, t, w, bias = res
+    _, vjp = jax.vjp(affine_matmul_reference, x, s, t, w, bias)
+    return vjp(g)
+
+
+_affine_matmul.defvjp(_affine_matmul_fwd, _affine_matmul_bwd)
+
+
+def affine_matmul(x, s, t, w, bias=None, *, interpret: bool = False):
+    """``(x * s + t) @ w (+ bias)`` in one HBM pass — the GroupNorm-apply ->
+    projection site of SpatialTransformer. x: (b, T, C); s/t: (b, C)
+    per-sample per-channel affine vectors (the group stats folded per
+    channel, FastGroupNorm-style); w: (C, F)."""
+    if not (interpret or _use_pallas()):
+        return affine_matmul_reference(x, s, t, w, bias)
+    return _affine_matmul(x, s, t, w, bias, interpret)
+
+
+def _use_pallas() -> bool:
+    if os.environ.get("PANFUSION_FUSED_LN", "1") == "0":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def ln_matmul(x, gamma, beta, w, bias=None, *, eps: float = 1e-5,
+              interpret: bool = False):
+    """``LayerNorm(x; gamma, beta, eps) @ w (+ bias)`` in one HBM pass.
+
+    x: (..., T, C); w: (C, F); gamma/beta: (C,); bias: (F,) or None.
+    Runs the Pallas kernel on TPU (PANFUSION_FUSED_LN=0 disables), the XLA
+    reference elsewhere. Differentiable (custom VJP, XLA-recompute
+    backward)."""
+    lead = x.shape[:-1]
+    c = x.shape[-1]
+    x2d = x.reshape(-1, c)
+    if not (interpret or _use_pallas()):
+        out = ln_matmul_reference(x2d, gamma, beta, w, bias, eps)
+    else:
+        out = _ln_matmul(x2d, gamma, beta, w, bias, eps, interpret)
+    return out.reshape(*lead, w.shape[1])

@@ -371,6 +371,26 @@ def predict(
                 Image.fromarray(images[0, i]).save(
                     os.path.join(out_dir, f"{i}.png")
                 )
+        # provenance stamp (VERDICT r4 weak #1): the committed predict
+        # panels were once regenerated outside the snapshot path, leaving
+        # config.predict.N.json recording a guidance the panels were not
+        # sampled with. Every sample now carries the sampling config and
+        # snapshot it came from; tools/faed_distance.py embeds these in the
+        # gate JSON and tests/test_learning_runs.py cross-checks them.
+        import json as _json
+
+        cfg = getattr(model, "cfg", None)
+        prov = {
+            **getattr(logger, "run_context", {}),
+            "pano_id": batch["pano_id"][0],
+            "seed": seed,
+        }
+        for k in ("guidance_scale", "diff_timestep", "prediction_type",
+                  "timestep_spacing", "zero_snr", "ddim_eta", "preset"):
+            if cfg is not None and hasattr(cfg, k):
+                prov[k] = getattr(cfg, k)
+        with open(os.path.join(out_dir, "provenance.json"), "w") as f:
+            _json.dump(prov, f, indent=2, default=str)
         with open(prompt_path, "w") as f:
             f.write(batch["pano_prompt"][0] + "\n")
         print(f"[{bi + 1}/{len(loader)}] {batch['pano_id'][0]}")

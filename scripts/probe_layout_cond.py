@@ -129,11 +129,46 @@ def main():
                 "2DIoU": iou2d, "3DIoU": iou3d}
             (matched if gi == ci else crossed).append(iou2d)
 
+    # paired statistics (VERDICT r4 weak #4: a bare mean inequality on a
+    # small n is fragile). For every generation, compare its IoU against
+    # its OWN conditioning layout vs each other room's layout:
+    #   - per-room win rate: room c "wins" when generations conditioned on
+    #     c match gt_c better than generations conditioned on other rooms
+    #   - sign test over all (generation, other-gt) pairs
+    n = len(names)
+    iou = np.zeros((n, n, n))  # [prompt, cond, gt]
+    for (pi, ci), _ in gens.items():
+        for gi in range(n):
+            iou[pi, ci, gi] = table[f"prompt{pi}_cond{ci}_vs_gt{gi}"]["2DIoU"]
+    room_wins = []
+    for c in range(n):
+        matched_c = iou[:, c, c].mean()
+        crossed_c = np.mean(
+            [iou[pi, cj, c] for pi in range(n) for cj in range(n) if cj != c]
+        )
+        room_wins.append(bool(matched_c > crossed_c))
+    diffs = np.asarray(
+        [iou[pi, ci, ci] - iou[pi, ci, gj]
+         for pi in range(n) for ci in range(n)
+         for gj in range(n) if gj != ci]
+    )
+    from scipy import stats as sstats
+
+    pos = int((diffs > 0).sum())
+    ties = int((diffs == 0).sum())
+    trials = len(diffs) - ties
+    sign_p = float(sstats.binomtest(
+        pos, trials, 0.5, alternative="greater").pvalue) if trials else 1.0
+
     out = {
         "rooms": names,
         "matched_2DIoU_mean": float(np.mean(matched)),
         "crossed_2DIoU_mean": float(np.mean(crossed)),
         "conditioning_wins": float(np.mean(matched)) > float(np.mean(crossed)),
+        "per_room_win": dict(zip(names, room_wins)),
+        "room_win_rate": float(np.mean(room_wins)),
+        "sign_test": {"positive": pos, "trials": trials, "p_greater": sign_p},
+        "n_generations": int(n * n),
         "pairs": table,
     }
     print(json.dumps(out, indent=1))

@@ -86,6 +86,95 @@ class TestFIDPower:
         assert fids[0] < fids[1] < fids[2], fids
 
 
+class TestRoomNetFIDPower:
+    """The trained FID/IS stand-in (metrics/roomnet.py, VERDICT r4 missing
+    #2): with weights/roomnet.npz committed, the Inception slot
+    auto-switches to trained features and the FID family must separate the
+    clean synthetic-rooms distribution from blur / noise / the round-3
+    diffusion-mush failure mode. Cheap (256-d convnet), so NOT slow-tier —
+    this is the committed-weights contract test."""
+
+    def test_roomnet_slot_discriminative(self):
+        from panfusion_tpu.metrics import roomnet
+        from panfusion_tpu.metrics import image_metrics as im
+
+        if not os.path.exists(roomnet.WEIGHTS_PATH):
+            pytest.skip("no trained weights/roomnet.npz")
+        if os.path.exists(os.path.join("weights", "inception_v3.npz")):
+            pytest.skip("real inception weights present")
+        im._feature_extractor.cache_clear()
+        try:
+            fx = im._feature_extractor()
+            assert fx.kind == "roomnet"
+            real = _rooms(32, h=96)
+            other = _rooms(32, h=96, seed=7)
+
+            def fid_of(fake):
+                m = im.FrechetInceptionDistance()
+                m.update(real, real=True)
+                m.update(fake, real=False)
+                return m.compute()
+
+            d_same = fid_of(other)
+            d_blur = fid_of(_blur(other, 15))
+            d_noise = fid_of(_noisy(other, 60))
+            mush = _blur(other, 49)  # the r3 smooth-mush failure mode
+            d_mush = fid_of(mush)
+            # trained features must separate every corruption from the
+            # same-distribution floor with real margin (the small-n
+            # self-floor is ~half the distance at n=32; the trainer's
+            # held-out probe at n=60 measures 4-4.8x — logs/roomnet)
+            assert d_blur > 2 * d_same, (d_same, d_blur)
+            assert d_noise > 2 * d_same, (d_same, d_noise)
+            assert d_mush > 2 * d_same, (d_same, d_mush)
+
+            # IS: trained wall-head on clean rooms must be confident and
+            # diverse => IS well above the random-feature collapse (1.0)
+            s = im.InceptionScore()
+            s.update(real)
+            is_mean, _ = s.compute(splits=3)
+            assert is_mean > 1.5, is_mean
+        finally:
+            im._feature_extractor.cache_clear()
+
+
+class TestTinyCLIPPower:
+    """The trained CLIP-Score stand-in (metrics/tinyclip.py): with
+    weights/tinyclip.npz committed, ClipScore must score matched
+    (pano, caption) pairs well above mismatched ones."""
+
+    def test_clip_score_prefers_matched_captions(self):
+        from panfusion_tpu.metrics import tinyclip
+        from panfusion_tpu.metrics import image_metrics as im
+
+        if not os.path.exists(tinyclip.WEIGHTS_PATH):
+            pytest.skip("no trained weights/tinyclip.npz")
+        if os.path.exists(os.path.join("weights", "clip_vision.npz")):
+            pytest.skip("real CLIP weights present")
+        for f in (im._clip_slot_kind, im._tinyclip, im._clip_fns,
+                  im.default_text_embed_fn):
+            f.cache_clear()
+        try:
+            assert im._clip_slot_kind() == "tinyclip"
+            import sys
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "tools"))
+            from train_tinyclip import render_pool
+
+            panos, captions = render_pool(12, 96, seed0=424242)
+            matched = im.ClipScore()
+            matched.update(panos, captions)
+            mismatched = im.ClipScore()
+            mismatched.update(panos, captions[::-1])
+            m, x = matched.compute(), mismatched.compute()
+            assert m > x + 3.0, (m, x)
+        finally:
+            for f in (im._clip_slot_kind, im._tinyclip, im._clip_fns,
+                      im.default_text_embed_fn):
+                f.cache_clear()
+
+
 class TestFAEDPower:
     def _metric(self, pano_height):
         """FAED metric on the trained synthetic-rooms encoder if present

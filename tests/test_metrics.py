@@ -123,8 +123,9 @@ class TestEvalHarness:
         import panfusion_tpu.metrics.image_metrics as im
         from panfusion_tpu.models.eval_pano_gen import EvalConfig, EvalPanoGen
 
-        # stub extractors: 8-d mean-pool features, uniform-ish probs
-        def fake_inception():
+        # stub extractor bundle (im.FeatureExtractor contract): mean-pool
+        # features, uniform-ish probs, identity preprocess
+        def fake_extractor():
             def run(x):
                 x = np.asarray(x)
                 f = x.reshape(x.shape[0], -1, 3).mean(1)
@@ -132,9 +133,11 @@ class TestEvalHarness:
                 probs = np.full((x.shape[0], 1000), 1.0 / 1000)
                 return feats, probs
 
-            return run
+            return im.FeatureExtractor(
+                run, lambda u8: np.asarray(u8, np.float32), 2048, "stub"
+            )
 
-        monkeypatch.setattr(im, "_inception_fn", fake_inception)
+        monkeypatch.setattr(im, "_feature_extractor", fake_extractor)
         monkeypatch.setattr(
             im, "_clip_fns", lambda: lambda x: np.ones((np.asarray(x).shape[0], 512))
         )

