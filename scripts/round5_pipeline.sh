@@ -109,6 +109,7 @@ if stage_le G; then
   echo "=== G: eval sweep (layout leg ON, RoomNet FID slot) ==="
   WANDB_RUN_ID=synpano_diff python -m panfusion_tpu.cli test --model=EvalPanoGen \
     --data=Matterport3D --data.data_dir=data/SyntheticRooms --data.num_workers=4 \
+    --data.layout_anno_dir=data/SyntheticRooms/annotations \
     --data.pano_height=256 --data.pers_resolution=128 --data.cam_sampler=horizon \
     --data.manhattan_layout=true
   echo "G done $(date)" >> $LOG
