@@ -42,10 +42,17 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM budget for choosing the grid policy (bytes). ~16 MB/core total;
-# leave room for double buffering and the output block.
-_W_RESIDENT_BUDGET = 6 * 1024 * 1024
-_X_RESIDENT_BUDGET = 6 * 1024 * 1024
+# VMEM budgets for choosing the grid policy (bytes). ~16 MB/core total;
+# leave room for double buffering and the output block. Env-tunable like
+# the flash block caps (PANFUSION_FLASH_B{Q,K}) so on-chip tuning needs no
+# code edits: PANFUSION_FLN_W_BUDGET / PANFUSION_FLN_X_BUDGET (bytes) and
+# PANFUSION_FLN_OUT_BUDGET (f32 out-block bytes, sets the token-block cap).
+_W_RESIDENT_BUDGET = int(os.environ.get("PANFUSION_FLN_W_BUDGET",
+                                        6 * 1024 * 1024))
+_X_RESIDENT_BUDGET = int(os.environ.get("PANFUSION_FLN_X_BUDGET",
+                                        6 * 1024 * 1024))
+_OUT_BLOCK_BUDGET = int(os.environ.get("PANFUSION_FLN_OUT_BUDGET",
+                                       2 * 1024 * 1024))
 
 
 def ln_matmul_reference(x, gamma, beta, w, bias=None, eps: float = 1e-5):
@@ -113,7 +120,7 @@ def _ln_matmul(x2d, gamma, beta, w, bias, eps: float, interpret: bool):
     if w_bytes <= _W_RESIDENT_BUDGET:
         # token-blocked, W resident. Block height: largest divisor of t
         # that keeps the f32 out block reasonable.
-        bt = _largest_divisor(t, max(1, (2 * 1024 * 1024) // (f * 4)))
+        bt = _largest_divisor(t, max(1, _OUT_BLOCK_BUDGET // (f * 4)))
         out = pl.pallas_call(
             functools.partial(_kernel_t_grid, eps=eps),
             grid=(t // bt,),
@@ -198,7 +205,7 @@ def _affine_matmul(x, s, t, w, bias, interpret: bool):
     f = w.shape[1]
     if c * f * jnp.dtype(w.dtype).itemsize > _W_RESIDENT_BUDGET:
         return affine_matmul_reference(x, s, t, w, bias)
-    bt = _largest_divisor(tt, max(1, (2 * 1024 * 1024) // (f * 4)))
+    bt = _largest_divisor(tt, max(1, _OUT_BLOCK_BUDGET // (f * 4)))
     out = pl.pallas_call(
         _affine_matmul_kernel,
         grid=(b, tt // bt),

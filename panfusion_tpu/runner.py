@@ -204,6 +204,12 @@ def fit(
                 # whole state on device once instead.
                 state = jax.device_put(state)
             print(f"Resumed from step {int(state.step)}")
+            # resume hygiene: rows beyond the checkpoint step belong to an
+            # aborted/experimental continuation and would interleave two
+            # histories in the committed curve (round-4 postmortem)
+            truncate = getattr(logger, "truncate_after_step", None)
+            if truncate is not None:
+                truncate(int(state.step))
     # the sidecar is written alongside each save (CheckpointManager.save),
     # never eagerly: writing it at fit start would relabel an existing
     # `last` trained under a different schedule (ADVICE r4)

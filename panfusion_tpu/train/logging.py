@@ -51,6 +51,41 @@ class ExperimentLogger:
             except Exception:
                 self._wandb = None
 
+    def truncate_after_step(self, step: int) -> int:
+        """Drop metrics.jsonl rows with _step > ``step``.
+
+        Resume hygiene: a fit that resumes from checkpoint step S replays
+        steps S+1..; rows beyond S in the stream came from an ABORTED or
+        experimental continuation (possibly NaN — observed in round 4) and
+        would corrupt the committed curve by interleaving two histories.
+        Rows without _step (eval summaries) are kept. Returns #dropped."""
+        path = os.path.join(self.save_dir, "metrics.jsonl")
+        if not os.path.exists(path):
+            return 0
+        self._scalar_f.close()
+        kept, dropped = [], 0
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    row = json.loads(line)
+                except json.JSONDecodeError:
+                    dropped += 1
+                    continue
+                if row.get("_step") is not None and row["_step"] > step:
+                    dropped += 1
+                else:
+                    kept.append(line)
+        if dropped:
+            with open(path, "w") as f:
+                f.write("\n".join(kept) + ("\n" if kept else ""))
+            print(f"metrics.jsonl: dropped {dropped} rows beyond resumed "
+                  f"step {step}")
+        self._scalar_f = open(path, "a", buffering=1)
+        return dropped
+
     def log(self, metrics: Dict, step: Optional[int] = None):
         row = {"_time": time.time()}
         if step is not None:

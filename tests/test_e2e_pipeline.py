@@ -131,7 +131,7 @@ class TestDatasetContract:
         import panfusion_tpu.metrics.image_metrics as im
         from panfusion_tpu.models.eval_pano_gen import EvalConfig, EvalPanoGen
 
-        def fake_inception():
+        def fake_extractor():
             def run(x):
                 x = np.asarray(x)
                 f = x.reshape(x.shape[0], -1, 3).mean(1)
@@ -140,9 +140,11 @@ class TestDatasetContract:
                     np.full((x.shape[0], 1000), 1e-3),
                 )
 
-            return run
+            return im.FeatureExtractor(
+                run, lambda u8: np.asarray(u8, np.float32), 2048, "stub"
+            )
 
-        monkeypatch.setattr(im, "_inception_fn", fake_inception)
+        monkeypatch.setattr(im, "_feature_extractor", fake_extractor)
         monkeypatch.setattr(
             im, "_clip_fns",
             lambda: lambda x: np.ones((np.asarray(x).shape[0], 512)),
@@ -228,3 +230,30 @@ class TestDatasetContract:
         assert prov["guidance_scale"] == 2.0
         assert prov["prediction_type"] == "v_prediction"
         assert prov["ckpt_path"] == "ck/last"
+
+
+class TestLoggerResumeHygiene:
+    def test_truncate_after_step_drops_aborted_tail(self, tmp_path):
+        """Resume hygiene (round-4 postmortem): rows beyond the resumed
+        checkpoint step come from an aborted continuation (possibly NaN)
+        and must not interleave with the replayed history."""
+        from panfusion_tpu.train.logging import ExperimentLogger
+
+        lg = ExperimentLogger(log_dir=str(tmp_path), run_id="r")
+        for s in (1, 2, 3):
+            lg.log({"train/loss": 1.0 / s}, step=s)
+        lg.log({"eval/x": 5.0})  # no _step: must survive
+        for s in (4, 5):
+            lg.log({"train/loss": float("nan")}, step=s)
+        dropped = lg.truncate_after_step(3)
+        assert dropped == 2
+        rows = [json.loads(l) for l in
+                open(tmp_path / "r" / "metrics.jsonl") if l.strip()]
+        steps = [r["_step"] for r in rows if "_step" in r]
+        assert steps == [1, 2, 3]
+        assert any("eval/x" in r for r in rows)
+        # the stream stays appendable after truncation
+        lg.log({"train/loss": 0.2}, step=4)
+        rows = [json.loads(l) for l in
+                open(tmp_path / "r" / "metrics.jsonl") if l.strip()]
+        assert [r["_step"] for r in rows if "_step" in r] == [1, 2, 3, 4]
