@@ -50,8 +50,15 @@ CALIB=${CALIB:-$(cat /tmp/calib5_flags.txt 2>/dev/null || true)}
 
 if stage_le C; then
   echo "=== C: fresh diffusion fit ($DIFF_EPOCHS epochs) calib=$CALIB ==="
+  # ARCHIVE-BY-COPY, then remove only what must go for a fresh fit (the
+  # old-latent-frame checkpoint and the curve). Never `mv` the run dir:
+  # committed evidence paths must not sit deleted in the worktree if the
+  # chain dies mid-stage (the round-end auto-commit would record the
+  # deletions). predict/test clear later, right before regeneration.
   if [ -e logs/synpano_diff ] && [ ! -e logs/synpano_diff_r4 ]; then
-    mv logs/synpano_diff logs/synpano_diff_r4
+    cp -r logs/synpano_diff logs/synpano_diff_r4
+    rm -rf logs/synpano_diff/checkpoints
+    rm -f logs/synpano_diff/metrics.jsonl
   fi
   WANDB_RUN_ID=synpano_diff python -m panfusion_tpu.cli fit $COMMON \
     --trainer.trainable=full_text --trainer.lr=2e-4 \
@@ -63,7 +70,9 @@ fi
 if stage_le D; then
   echo "=== D: ControlNet stage ($CN_EPOCHS epochs) ==="
   if [ -e logs/synpano_cn ] && [ ! -e logs/synpano_cn_r4 ]; then
-    mv logs/synpano_cn logs/synpano_cn_r4
+    cp -r logs/synpano_cn logs/synpano_cn_r4
+    rm -rf logs/synpano_cn/checkpoints
+    rm -f logs/synpano_cn/metrics.jsonl
   fi
   WANDB_RUN_ID=synpano_cn python -m panfusion_tpu.cli fit $COMMON \
     --model.layout_cond=true --data.layout_cond_type=distance_map \
@@ -77,6 +86,9 @@ if stage_le E; then
   echo "=== E: samples at DEFAULT config + gates ==="
   python scripts/probe_guidance.py --ckpt logs/synpano_diff/checkpoints/last \
     --out logs/synpano_diff/guidance_sweep --scales 1,2,3,5,9 || true
+  # clear stale samples immediately before regeneration (predict/test skip
+  # idempotently on existing prompt.txt)
+  rm -rf logs/synpano_diff/predict logs/synpano_diff/test
   WANDB_RUN_ID=synpano_diff python -m panfusion_tpu.cli predict $COMMON \
     --data.batch_size=1 --data.repeat_predict=1 --data.predict_limit=6 \
     --model.diff_timestep=50 \
