@@ -144,8 +144,11 @@ def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     parser = argparse.ArgumentParser(prog="panfusion_tpu")
     parser.add_argument(
-        "command", choices=["fit", "validate", "test", "predict", "bench"]
+        "command",
+        choices=["fit", "validate", "test", "predict", "bench", "serve"],
     )
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8321)
     parser.add_argument("--model", default="PanFusion")
     parser.add_argument("--data", default="Matterport3D")
     parser.add_argument("--ckpt_path", default=None)
@@ -250,6 +253,24 @@ def main(argv=None):
             model.fit(dm, tc, logger, args)
         elif args.command in ("test", "predict", "validate"):
             model.run_eval(dm, logger, args)
+        elif args.command == "serve":
+            from .models.panfusion import cast_params
+            from .serve import serve as run_serve
+
+            try:
+                params = model.load_or_init_params(
+                    args.ckpt_path, args.seed,
+                    allow_schedule_mismatch=args.allow_schedule_mismatch,
+                )
+            except TypeError:  # models without the schedule-check kwarg
+                params = model.load_or_init_params(args.ckpt_path, args.seed)
+            params = cast_params(params, model.cfg.dtype)
+            srv = run_serve(model, params, host=args.host, port=args.port,
+                            seed=args.seed)
+            try:
+                srv.serve_forever()
+            except KeyboardInterrupt:
+                srv.shutdown()
         elif args.command == "bench":
             import subprocess
 
