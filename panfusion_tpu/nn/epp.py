@@ -87,16 +87,20 @@ class EPPTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context, bias=None, query_pe=None):
-        norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
+        # the SHARED pre-norm (one param set normalizes query and context)
+        # fuses into the q and kv projections (ops/fused_ln.py) — param
+        # tree unchanged (norm1/{scale,bias} via the parameter-only twin)
+        from .layers import _LNParams
+
+        ln1 = _LNParams(name="norm1")(self.dim)
         q = x if query_pe is None else x + query_pe
-        q = norm1(q)
-        ctx = norm1(context)
         x = x + CrossAttention(
             self.dim, self.heads, self.dim_head, context_dim=self.dim,
             out_zero_init=True, dtype=self.dtype, name="attn1",
-        )(q, context=ctx, bias=bias)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
-        x = x + FeedForward(self.dim, zero_init_out=True, dtype=self.dtype, name="ff")(h)
+        )(q, context=context, bias=bias, ln=ln1, ln_kv=ln1)
+        ln2 = _LNParams(name="norm2")(self.dim)
+        x = x + FeedForward(self.dim, zero_init_out=True, dtype=self.dtype,
+                            name="ff")(x, ln=ln2)
         return x
 
 

@@ -266,7 +266,7 @@ class CrossAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None, bias=None, ln=None):
+    def __call__(self, x, context=None, bias=None, ln=None, ln_kv=None):
         self_attn = context is None
         src = x if self_attn else context
         inner = self.heads * self.dim_head
@@ -287,8 +287,16 @@ class CrossAttention(nn.Module):
             from ..ops.fused_ln import ln_matmul
 
             q = ln_matmul(x, ln[0], ln[1], wq.astype(dt), eps=LN_EPS)
-            k = src.astype(dt) @ wk.astype(dt)
-            v = src.astype(dt) @ wv.astype(dt)
+            if ln_kv is not None:
+                # EPP's shared pre-norm normalizes the context too
+                # (reference transformer.py:131-162) — fuse it into one
+                # kv projection
+                w_kv = jnp.concatenate([wk, wv], axis=1).astype(dt)
+                kv = ln_matmul(src, ln_kv[0], ln_kv[1], w_kv, eps=LN_EPS)
+                k, v = jnp.split(kv, 2, axis=-1)
+            else:
+                k = src.astype(dt) @ wk.astype(dt)
+                v = src.astype(dt) @ wv.astype(dt)
         else:
             q = x.astype(dt) @ wq.astype(dt)
             k = src.astype(dt) @ wk.astype(dt)
