@@ -14,12 +14,16 @@ from __future__ import annotations
 import functools
 
 import jax.numpy as jnp
+import numpy as np
 
 # tiny 3x3 rotation math must not run at bf16 MXU precision on TPU
 _mm = functools.partial(jnp.matmul, precision="highest")
 
-Y_AXIS = jnp.array([0.0, 1.0, 0.0], dtype=jnp.float32)
-Z_AXIS = jnp.array([0.0, 0.0, 1.0], dtype=jnp.float32)
+# host numpy, NOT jnp: module-level jnp.array would initialize the JAX
+# backend at import time — on a tunnel-less host every import of the
+# geometry stack would block on the dead axon socket (round-5 find)
+Y_AXIS = np.array([0.0, 1.0, 0.0], dtype=np.float32)
+Z_AXIS = np.array([0.0, 0.0, 1.0], dtype=np.float32)
 
 
 def rodrigues(rvec: jnp.ndarray) -> jnp.ndarray:
@@ -62,7 +66,7 @@ def camera_rotations(theta_deg: jnp.ndarray, phi_deg: jnp.ndarray):
     return R1, R2
 
 
-X_AXIS = jnp.array([1.0, 0.0, 0.0], dtype=jnp.float32)
+X_AXIS = np.array([1.0, 0.0, 0.0], dtype=np.float32)
 
 
 def get_K_R(fov_deg, theta_deg, phi_deg, height, width):

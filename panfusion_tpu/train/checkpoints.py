@@ -16,8 +16,16 @@ from typing import Any, Dict, Optional
 
 import jax
 import numpy as np
-import orbax.checkpoint as ocp
 from flax import traverse_util
+
+def _ocp():
+    """Lazy orbax: importing orbax.checkpoint initializes the JAX backend,
+    which on a tunnel-less host blocks on the dead axon socket — merely
+    importing this module (or runner/models.panfusion, which import it)
+    must never touch a device."""
+    import orbax.checkpoint as ocp
+
+    return ocp
 
 
 class CheckpointManager:
@@ -35,7 +43,7 @@ class CheckpointManager:
         # first interval starts now — step 1 must not block on a full
         # multi-GB serialization
         self._last_save = time.time()
-        self._ckptr = ocp.StandardCheckpointer()
+        self._ckptr = _ocp().StandardCheckpointer()
         # schedule sidecar written WITH each save, not at fit start: a fresh
         # fit into a directory holding an older `last` (or one that crashes
         # before its first save) must not relabel the old weights with the
@@ -82,6 +90,7 @@ class CheckpointManager:
 
         import jax
 
+        ocp = _ocp()
         ckptr = ocp.PyTreeCheckpointer()
         meta = ckptr.metadata(path)
         structure = getattr(meta, "item_metadata", meta)
