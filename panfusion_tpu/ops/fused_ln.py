@@ -245,16 +245,27 @@ def affine_matmul(x, s, t, w, bias=None, *, interpret: bool = False):
     channel, FastGroupNorm-style); w: (C, F)."""
     if not (interpret or _use_pallas()):
         return affine_matmul_reference(x, s, t, w, bias)
-    return _affine_matmul(x, s, t, w, bias, interpret)
+    return _affine_matmul(x, s, t, w, bias,
+                          interpret or _interpret_default())
 
 
 def _use_pallas() -> bool:
-    if os.environ.get("PANFUSION_FUSED_LN", "1") == "0":
+    mode = os.environ.get("PANFUSION_FUSED_LN", "1")
+    if mode == "0":
         return False
+    if mode == "interpret":
+        # run the REAL kernels through the Pallas interpreter on any
+        # backend — lets model-level fused-vs-reference equivalence run in
+        # CPU CI (tests/test_fused_ln.py model-level test)
+        return True
     try:
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+def _interpret_default() -> bool:
+    return os.environ.get("PANFUSION_FUSED_LN", "1") == "interpret"
 
 
 def ln_matmul(x, gamma, beta, w, bias=None, *, eps: float = 1e-5,
@@ -271,5 +282,6 @@ def ln_matmul(x, gamma, beta, w, bias=None, *, eps: float = 1e-5,
     if not (interpret or _use_pallas()):
         out = ln_matmul_reference(x2d, gamma, beta, w, bias, eps)
     else:
-        out = _ln_matmul(x2d, gamma, beta, w, bias, eps, interpret)
+        out = _ln_matmul(x2d, gamma, beta, w, bias, eps,
+                         interpret or _interpret_default())
     return out.reshape(*lead, w.shape[1])

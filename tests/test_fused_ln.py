@@ -133,6 +133,32 @@ def test_spatial_transformer_entry_unchanged():
     assert np.isfinite(np.asarray(y)).all()
 
 
+def test_model_level_fused_equals_reference(monkeypatch):
+    """Whole-TransformerBlock equivalence: the REAL Pallas kernels (via
+    PANFUSION_FUSED_LN=interpret) against the XLA reference path
+    (PANFUSION_FUSED_LN=0) on identical params — covers the qkv concat,
+    the LoRA fold, the GEGLU fusion, and every reshape in between, not
+    just the kernels in isolation."""
+    from panfusion_tpu.nn.layers import TransformerBlock
+
+    rng = np.random.default_rng(11)
+    blk = TransformerBlock(dim=64, heads=2, dim_head=32, context_dim=48,
+                           lora_rank=4)
+    x = jnp.asarray(rng.normal(size=(2, 32, 64)), jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(2, 7, 48)), jnp.float32)
+    v = blk.init(jax.random.PRNGKey(0), x, ctx)
+    # give LoRA a nonzero delta so the fold is actually exercised
+    v = jax.tree.map(
+        lambda a: a + 0.01 if a.ndim == 2 and a.shape[-1] == 4 else a, v)
+
+    monkeypatch.setenv("PANFUSION_FUSED_LN", "0")
+    ref = blk.apply(v, x, ctx)
+    monkeypatch.setenv("PANFUSION_FUSED_LN", "interpret")
+    fused = blk.apply(v, x, ctx)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
 def test_cpu_path_uses_reference(monkeypatch):
     """Off-TPU (and with PANFUSION_FUSED_LN=0) the public entry must route
     to the XLA reference — bit-identical, not merely close."""
