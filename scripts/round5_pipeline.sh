@@ -143,4 +143,10 @@ if stage_le H; then
   echo "H done $(date)" >> $LOG
 fi
 
+if stage_le I; then
+  # evidence lives under gitignored logs/ — self-commit so a chain that
+  # finishes unattended still lands its artifacts in git
+  bash scripts/commit_round5_evidence.sh >> $LOG 2>&1 || true
+fi
+
 echo "=== round5 pipeline done $(date)" >> $LOG
