@@ -30,14 +30,13 @@ WATCHDOG_SECS = int(os.environ.get("PANFUSION_BENCH_TIMEOUT", 2700))
 def _supervise() -> int:
     import subprocess
 
-    # two attempts: with the fused Pallas LN/GN->matmul kernels
-    # (ops/fused_ln.py, the default), then — if that child fails for any
-    # reason (e.g. a Mosaic lowering issue on a chip generation the
-    # kernels were never compiled for) — once more with
-    # PANFUSION_FUSED_LN=0 so a kernel regression can never cost the
-    # round its benchmark number.
+    # The fused Pallas LN/GN->matmul kernels measured a ~10%% e2e
+    # REGRESSION on-chip (8.17 vs 9.14 unfused, same day — BASELINE.md
+    # round 5), so unfused XLA is the default; opt in with
+    # PANFUSION_FUSED_LN=1, in which case a failed fused child retries
+    # unfused so a kernel regression can never cost the round its number.
     attempts = [dict(os.environ, PANFUSION_BENCH_CHILD="1")]
-    if os.environ.get("PANFUSION_FUSED_LN", "1") != "0":
+    if os.environ.get("PANFUSION_FUSED_LN", "0") not in ("0",):
         attempts.append(
             dict(os.environ, PANFUSION_BENCH_CHILD="1",
                  PANFUSION_FUSED_LN="0")
@@ -110,7 +109,7 @@ def main():
                 "baseline_note": "A100 reference 1.5 panos/min is an "
                                  "estimate (see bench.py/BASELINE.md); "
                                  "'value' is the cross-round signal",
-                "fused_ln": os.environ.get("PANFUSION_FUSED_LN", "1") != "0",
+                "fused_ln": os.environ.get("PANFUSION_FUSED_LN", "0") != "0",
             }
         )
     )

@@ -14,12 +14,15 @@ This kernel emits
 reads and one write of the token tensor (the pers branch's is 26 MB at
 level 0).
 
-Grid policy (one pass over x either way):
-  - W small (fits VMEM alongside a token block): 1-D grid over token
-    blocks, W resident; stats + normalize + dot per block.
-  - W large (C=1280 GEGLU/qkv): 1-D grid over feature blocks, the whole
-    token tensor resident (these sites have few tokens), normalized once
-    into scratch at f==0 and reused for every W block.
+Grid policy: one 2-D (token-block x feature-block) grid for every site,
+features iterating fastest — the x block's index is then constant across
+the inner loop, so Mosaic keeps it resident (no re-DMA) while W column
+slabs stream through; LN stats are recomputed per feature block (VPU cost
+linear in the block, negligible next to the dot). Block caps keep the W
+slab and the f32 accumulator inside the 16 MB scoped-vmem stack WITH
+double buffering — the first on-chip runs OOMed (32.8M/21.1M/16.1M stacks)
+under per-path policies that capped only W residency, which is what
+retired the earlier token-resident/feature-resident special cases.
 
 Training support: jax.custom_vjp whose backward recomputes the forward
 with plain XLA ops and differentiates that (no hand-derived LN backward to
@@ -30,6 +33,16 @@ LayerNorm + Linear CUDA kernels (external/MVDiffusion + diffusers
 BasicTransformerBlock; models/modules/transformer.py) — there is nothing
 to copy; this is TPU-native engineering on top of the Pallas guide's
 two-input matmul pattern.
+
+MEASURED OUTCOME (round 5, on-chip): end-to-end the fused kernels are a
+~10% REGRESSION — 8.17 panos/min fused vs 9.14 unfused, same day, same
+tunnel (BASELINE.md "Measured (round 5)"). The HBM traffic the kernel
+saves is smaller than what the pallas_call boundary costs: XLA was
+already fusing the normalize into the surrounding elementwise chain, and
+the 2-D grid re-reads W per token block. Default is therefore OFF
+(PANFUSION_FUSED_LN=0); the kernels stay behind PANFUSION_FUSED_LN=1 as
+a tuning surface for other chip generations, with parity pinned by
+tests/test_fused_ln.py either way.
 """
 from __future__ import annotations
 
@@ -40,17 +53,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
-# VMEM budgets for choosing the grid policy (bytes). ~16 MB/core total;
-# leave room for double buffering and the output block. Env-tunable like
-# the flash block caps (PANFUSION_FLASH_B{Q,K}) so on-chip tuning needs no
-# code edits: PANFUSION_FLN_W_BUDGET / PANFUSION_FLN_X_BUDGET (bytes) and
-# PANFUSION_FLN_OUT_BUDGET (f32 out-block bytes, sets the token-block cap).
-_W_RESIDENT_BUDGET = int(os.environ.get("PANFUSION_FLN_W_BUDGET",
-                                        6 * 1024 * 1024))
-_X_RESIDENT_BUDGET = int(os.environ.get("PANFUSION_FLN_X_BUDGET",
-                                        6 * 1024 * 1024))
+# VMEM block budgets (bytes), env-tunable like the flash block caps
+# (PANFUSION_FLASH_B{Q,K}) so on-chip tuning needs no code edits. The
+# Mosaic scoped-vmem stack limit is 16 MB/core and every gridded operand
+# is double-buffered, so PER-BLOCK budgets must stay small: a W
+# feature-column block gets _W_BLOCK_BUDGET and the f32 dot accumulator
+# _OUT_BLOCK_BUDGET. (These caps were sized by the first on-chip runs'
+# OOMs: 32.8M / 21.1M / 16.1M stacks vs the 16M limit when the policy
+# capped only by W residency.)
+_W_BLOCK_BUDGET = int(os.environ.get("PANFUSION_FLN_W_BUDGET",
+                                     3 * 1024 * 1024))
 _OUT_BLOCK_BUDGET = int(os.environ.get("PANFUSION_FLN_OUT_BUDGET",
                                        2 * 1024 * 1024))
 
@@ -80,27 +93,27 @@ def _normalize_block(x_ref, g_ref, b_ref, eps):
         jnp.float32)
 
 
-def _kernel_t_grid(x_ref, g_ref, b_ref, w_ref, o_ref, *, eps):
-    """Token-blocked: W resident, one block of tokens per grid step."""
+def _kernel_tf_grid(x_ref, g_ref, b_ref, w_ref, o_ref, *, eps):
+    """Unified 2-D (token x feature) grid. The grid iterates features
+    fastest, so for a fixed token block Mosaic keeps the x block resident
+    (unchanged block index => no re-DMA) while W feature-column blocks
+    stream through. LayerNorm stats are recomputed per feature block —
+    VPU work linear in the block size, negligible next to the dot."""
     xn = _normalize_block(x_ref, g_ref, b_ref, eps).astype(x_ref.dtype)
     o_ref[...] = jnp.dot(
         xn, w_ref[...], preferred_element_type=jnp.float32
     ).astype(o_ref.dtype)
 
 
-def _kernel_f_grid(x_ref, g_ref, b_ref, w_ref, o_ref, xn_ref, *, eps):
-    """Feature-blocked: all tokens resident; normalize once at f == 0."""
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        xn_ref[...] = _normalize_block(x_ref, g_ref, b_ref, eps).astype(
-            xn_ref.dtype)
-
-    o_ref[...] = jnp.dot(
-        xn_ref[...], w_ref[...], preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
-
-
-def _largest_divisor(n: int, cap: int) -> int:
+def _largest_divisor(n: int, cap: int, mult: int = 1) -> int:
+    """Largest divisor of n that is <= cap and (unless it equals n) a
+    multiple of `mult` — Mosaic requires block dims divisible by 8
+    (sublane) / 128 (lane) unless they span the whole array."""
+    if n <= cap:
+        return n
+    for d in range(min(cap, n), 0, -1):
+        if n % d == 0 and d % mult == 0:
+            return d
     for d in range(min(cap, n), 0, -1):
         if n % d == 0:
             return d
@@ -113,48 +126,27 @@ def _largest_divisor(n: int, cap: int) -> int:
 def _ln_matmul(x2d, gamma, beta, w, bias, eps: float, interpret: bool):
     t, c = x2d.shape
     f = w.shape[1]
-    itemsize = jnp.dtype(x2d.dtype).itemsize
-    w_bytes = c * f * jnp.dtype(w.dtype).itemsize
-    x_bytes = t * c * itemsize
-
-    if w_bytes <= _W_RESIDENT_BUDGET:
-        # token-blocked, W resident. Block height: largest divisor of t
-        # that keeps the f32 out block reasonable.
-        bt = _largest_divisor(t, max(1, _OUT_BLOCK_BUDGET // (f * 4)))
-        out = pl.pallas_call(
-            functools.partial(_kernel_t_grid, eps=eps),
-            grid=(t // bt,),
-            in_specs=[
-                pl.BlockSpec((bt, c), lambda i: (i, 0)),
-                pl.BlockSpec((1, c), lambda i: (0, 0)),
-                pl.BlockSpec((1, c), lambda i: (0, 0)),
-                pl.BlockSpec((c, f), lambda i: (0, 0)),
-            ],
-            out_specs=pl.BlockSpec((bt, f), lambda i: (i, 0)),
-            out_shape=jax.ShapeDtypeStruct((t, f), x2d.dtype),
-            interpret=interpret,
-        )(x2d, gamma[None], beta[None], w)
-    elif x_bytes <= _X_RESIDENT_BUDGET:
-        # feature-blocked, tokens resident, normalized once into scratch
-        bf = _largest_divisor(f, max(1, _W_RESIDENT_BUDGET
-                                     // (c * jnp.dtype(w.dtype).itemsize)))
-        out = pl.pallas_call(
-            functools.partial(_kernel_f_grid, eps=eps),
-            grid=(f // bf,),
-            in_specs=[
-                pl.BlockSpec((t, c), lambda j: (0, 0)),
-                pl.BlockSpec((1, c), lambda j: (0, 0)),
-                pl.BlockSpec((1, c), lambda j: (0, 0)),
-                pl.BlockSpec((c, bf), lambda j: (0, j)),
-            ],
-            out_specs=pl.BlockSpec((t, bf), lambda j: (0, j)),
-            out_shape=jax.ShapeDtypeStruct((t, f), x2d.dtype),
-            scratch_shapes=[pltpu.VMEM((t, c), x2d.dtype)],
-            interpret=interpret,
-        )(x2d, gamma[None], beta[None], w)
-    else:
-        # both operands huge (never hit at SD2 shapes) — XLA fallback
-        out = ln_matmul_reference(x2d, gamma, beta, w, None, eps)
+    # Feature block: a (c, bf) W column slab within the W budget; token
+    # block: keeps the f32 dot accumulator (bt x bf x 4) within the out
+    # budget. Both are double-buffered by Pallas, which the budgets and
+    # the 16 MB scoped-vmem stack headroom account for.
+    bf = _largest_divisor(
+        f, max(1, _W_BLOCK_BUDGET // (c * jnp.dtype(w.dtype).itemsize)),
+        mult=128)
+    bt = _largest_divisor(t, max(1, _OUT_BLOCK_BUDGET // (bf * 4)), mult=8)
+    out = pl.pallas_call(
+        functools.partial(_kernel_tf_grid, eps=eps),
+        grid=(t // bt, f // bf),
+        in_specs=[
+            pl.BlockSpec((bt, c), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((c, bf), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bt, bf), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((t, f), x2d.dtype),
+        interpret=interpret,
+    )(x2d, gamma[None], beta[None], w)
     if bias is not None:
         out = (out.astype(jnp.float32) + bias.astype(jnp.float32)).astype(
             x2d.dtype)
@@ -203,22 +195,27 @@ def affine_matmul_reference(x, s, t, w, bias=None):
 def _affine_matmul(x, s, t, w, bias, interpret: bool):
     b, tt, c = x.shape
     f = w.shape[1]
-    if c * f * jnp.dtype(w.dtype).itemsize > _W_RESIDENT_BUDGET:
+    # W stays resident here: the affine sites are the square proj_in /
+    # proj_out matrices (<= 1280^2 bf16 = 3.3 MB, verified on-chip).
+    if c * f * jnp.dtype(w.dtype).itemsize > 6 * 1024 * 1024:
         return affine_matmul_reference(x, s, t, w, bias)
-    bt = _largest_divisor(tt, max(1, _OUT_BLOCK_BUDGET // (f * 4)))
+    bt = _largest_divisor(tt, max(1, _OUT_BLOCK_BUDGET // (f * 4)), mult=8)
     out = pl.pallas_call(
         _affine_matmul_kernel,
         grid=(b, tt // bt),
         in_specs=[
             pl.BlockSpec((1, bt, c), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, c), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, c), lambda i, j: (i, 0)),
+            # (b, 1, c) so the block's trailing dims span the array —
+            # Mosaic rejects a (1, c) block over a (b, c) array (sublane
+            # dim 1 neither divisible by 8 nor the full b)
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((c, f), lambda i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, bt, f), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b, tt, f), x.dtype),
         interpret=interpret,
-    )(x, s, t, w)
+    )(x, s[:, None], t[:, None], w)
     if bias is not None:
         out = (out.astype(jnp.float32) + bias.astype(jnp.float32)).astype(
             x.dtype)
@@ -250,7 +247,7 @@ def affine_matmul(x, s, t, w, bias=None, *, interpret: bool = False):
 
 
 def _use_pallas() -> bool:
-    mode = os.environ.get("PANFUSION_FUSED_LN", "1")
+    mode = os.environ.get("PANFUSION_FUSED_LN", "0")
     if mode == "0":
         return False
     if mode == "interpret":
@@ -265,7 +262,7 @@ def _use_pallas() -> bool:
 
 
 def _interpret_default() -> bool:
-    return os.environ.get("PANFUSION_FUSED_LN", "1") == "interpret"
+    return os.environ.get("PANFUSION_FUSED_LN", "0") == "interpret"
 
 
 def ln_matmul(x, gamma, beta, w, bias=None, *, eps: float = 1e-5,
