@@ -16,25 +16,30 @@ def frechet_distance(mu1, cov1, mu2, cov2, eps: float = 1e-6) -> float:
     """d^2 = |mu1-mu2|^2 + tr(c1 + c2 - 2 sqrtm(c1 c2)) (host float64,
     torchmetrics `_compute_fid` contract).
 
-    Near-singular covariances (fewer samples than features — e.g. a ~1.2k
-    pano test set against 2048-dim Inception features) can make sqrtm
-    return non-finite entries; like pytorch-fid, retry with an eps*I
-    offset on the diagonal instead of returning NaN for an hours-long
-    eval run."""
-    import scipy.linalg
-
-    diff = mu1 - mu2
-    covmean, _ = scipy.linalg.sqrtm(cov1 @ cov2, disp=False)
-    if np.iscomplexobj(covmean):
-        covmean = covmean.real
-    if not np.isfinite(covmean).all():
-        offset = np.eye(cov1.shape[0]) * eps
-        covmean, _ = scipy.linalg.sqrtm(
-            (cov1 + offset) @ (cov2 + offset), disp=False
-        )
-        if np.iscomplexobj(covmean):
-            covmean = covmean.real
-    return float(diff @ diff + np.trace(cov1 + cov2 - 2.0 * covmean))
+    Computed via symmetric eigendecompositions rather than
+    scipy.linalg.sqrtm: for PSD covariances
+        tr sqrtm(c1 c2) = sum_i sqrt(lambda_i(c1 c2))
+                        = sum_i sqrt(lambda_i(c1^1/2 c2 c1^1/2)),
+    and the inner matrix is symmetric PSD, so two LAPACK eigh calls
+    replace the Schur sqrtm. Equivalence to the sqrtm form is pinned by
+    tests/test_metrics.py::test_frechet_matches_scipy_sqrtm. Why: the
+    recursive-Schur sqrtm hits its worst case on the near-singular
+    covariances FID actually sees (n_samples << 2048 features) — measured
+    ~27 s per 2048^2 call on this host, x8 calls per eval sweep, vs ~3 s
+    for the eigh pair; it is also unconditionally finite, where sqrtm
+    needed a non-finite retry with an eps*I diagonal offset (pytorch-fid's
+    workaround). Negative eigenvalues from rounding are clipped to zero
+    (`eps` kept for signature compatibility)."""
+    diff = np.asarray(mu1, np.float64) - np.asarray(mu2, np.float64)
+    cov1 = np.asarray(cov1, np.float64)
+    cov2 = np.asarray(cov2, np.float64)
+    w1, v1 = np.linalg.eigh(cov1)
+    s1h = (v1 * np.sqrt(np.clip(w1, 0.0, None))) @ v1.T
+    inner = s1h @ cov2 @ s1h
+    ew = np.linalg.eigvalsh((inner + inner.T) * 0.5)
+    tr_covmean = float(np.sqrt(np.clip(ew, 0.0, None)).sum())
+    return float(diff @ diff + np.trace(cov1) + np.trace(cov2)
+                 - 2.0 * tr_covmean)
 
 
 class StreamingFrechet:

@@ -154,15 +154,11 @@ class FAEDAutoEncoder(nn.Module):
 
 
 # ---------------------------------------------------------------- metric
-def frechet_distance(mu1, cov1, mu2, cov2) -> float:
-    """d^2 = |mu1-mu2|^2 + tr(c1 + c2 - 2 sqrtm(c1 c2)) (host float64)."""
-    import scipy.linalg
-
-    diff = mu1 - mu2
-    covmean, _ = scipy.linalg.sqrtm(cov1 @ cov2, disp=False)
-    if np.iscomplexobj(covmean):
-        covmean = covmean.real
-    return float(diff @ diff + np.trace(cov1 + cov2 - 2.0 * covmean))
+# Single implementation shared with FID (metrics/frechet.py): the
+# eigh-based form — tr sqrtm(c1 c2) via two symmetric eigendecompositions
+# — replaced a local scipy sqrtm copy that cost ~27 s per 2048^2 call on
+# near-singular covariances.
+from ..metrics.frechet import frechet_distance  # noqa: E402,F401
 
 
 class FrechetAutoEncoderDistance:

@@ -210,6 +210,20 @@ def fit(
             truncate = getattr(logger, "truncate_after_step", None)
             if truncate is not None:
                 truncate(int(state.step))
+    else:
+        # fresh-fit hygiene, the resume case's sibling: with no checkpoint
+        # to resume, any existing metrics.jsonl is a PREVIOUS run's curve
+        # (e.g. checked out of git on a new host whose checkpoints/ was
+        # never committed). Appending step-10,20,... rows after it would
+        # interleave two histories exactly like the aborted-resume case —
+        # observed round 5 when the stage-0 VAE refit appended to the
+        # committed 600-step curve. A from-scratch fit owns its file.
+        truncate = getattr(logger, "truncate_after_step", None)
+        if truncate is not None:
+            dropped = truncate(-1)
+            if dropped:
+                print(f"Fresh fit: dropped {dropped} stale metrics rows "
+                      "from a previous run")
     # the sidecar is written alongside each save (CheckpointManager.save),
     # never eagerly: writing it at fit start would relabel an existing
     # `last` trained under a different schedule (ADVICE r4)

@@ -257,3 +257,21 @@ class TestLoggerResumeHygiene:
         rows = [json.loads(l) for l in
                 open(tmp_path / "r" / "metrics.jsonl") if l.strip()]
         assert [r["_step"] for r in rows if "_step" in r] == [1, 2, 3, 4]
+
+    def test_fresh_fit_truncates_whole_stale_curve(self, tmp_path):
+        """Fresh-fit hygiene (round-5 incident): a from-scratch fit into a
+        directory holding a PREVIOUS run's metrics.jsonl (checked out of
+        git on a host whose checkpoints/ was never committed) must not
+        append step-10,20,... rows after the old curve — runner.fit calls
+        truncate_after_step(-1) when there is no checkpoint to resume."""
+        from panfusion_tpu.train.logging import ExperimentLogger
+
+        lg = ExperimentLogger(log_dir=str(tmp_path), run_id="r")
+        for s in (10, 600):
+            lg.log({"train/loss": 0.5}, step=s)
+        dropped = lg.truncate_after_step(-1)  # the runner's fresh-fit call
+        assert dropped == 2
+        lg.log({"train/loss": 1.0}, step=10)
+        rows = [json.loads(l) for l in
+                open(tmp_path / "r" / "metrics.jsonl") if l.strip()]
+        assert [r["_step"] for r in rows if "_step" in r] == [10]

@@ -58,6 +58,27 @@ class TestStreamingFrechet:
         # equal cov: trace term cancels -> |mu|^2 = 2
         assert np.isclose(frechet_distance(mu1, c, mu2, c), 2.0)
 
+    def test_frechet_matches_scipy_sqrtm(self):
+        """The eigh-based frechet_distance equals the textbook
+        scipy sqrtm(c1 c2) form (torchmetrics _compute_fid contract) on
+        PSD covariances — including the rank-deficient n_samples <<
+        n_features case that made recursive-Schur sqrtm pathologically
+        slow (the reason for the eigh rewrite)."""
+        import scipy.linalg
+
+        rng = np.random.default_rng(0)
+        for n, k in [(24, 24), (40, 6)]:  # full-rank and rank-deficient
+            f1 = rng.normal(size=(k + 2, n))
+            f2 = rng.normal(size=(k + 2, n)) + 0.3
+            mu1, mu2 = f1.mean(0), f2.mean(0)
+            c1 = np.cov(f1, rowvar=False)
+            c2 = np.cov(f2, rowvar=False)
+            covmean, _ = scipy.linalg.sqrtm(c1 @ c2, disp=False)
+            ref = float((mu1 - mu2) @ (mu1 - mu2)
+                        + np.trace(c1 + c2 - 2.0 * covmean.real))
+            got = frechet_distance(mu1, c1, mu2, c2)
+            assert np.isclose(got, ref, rtol=1e-6, atol=1e-8), (n, k, got, ref)
+
 
 class TestInceptionScore:
     def test_uniform_vs_peaked(self):

@@ -65,9 +65,9 @@ def main():
 
     import functools
 
+    import jax
     import jax.numpy as jnp
 
-    import panfusion_tpu
     panfusion_tpu.enable_compilation_cache()
     from panfusion_tpu.models.faed import (
         FAEDAutoEncoder,
