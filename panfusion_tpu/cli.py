@@ -45,7 +45,11 @@ def _coerce(value: str, current):
 
 def apply_overrides(obj, overrides: Dict[str, str], prefix: str):
     """Apply {'model.diff_timestep': '50'} style overrides to a dataclass
-    or attribute container."""
+    or attribute container. A key naming a field the target does not have
+    is an error: setattr would otherwise create a junk attribute and the
+    run would silently proceed un-configured (observed round 5 with a
+    mistyped --data flag training on the full split). The reference's
+    jsonargparse CLI rejects unknown args the same way (main.py:54-72)."""
     for key, value in overrides.items():
         if not key.startswith(prefix + "."):
             continue
@@ -54,7 +58,11 @@ def apply_overrides(obj, overrides: Dict[str, str], prefix: str):
         parts = field.split(".")
         for p in parts[:-1]:
             target = getattr(target, p)
-        cur = getattr(target, parts[-1], None)
+        if not hasattr(target, parts[-1]):
+            raise SystemExit(
+                f"--{key}: {type(target).__name__} has no field "
+                f"{parts[-1]!r}")
+        cur = getattr(target, parts[-1])
         setattr(target, parts[-1], _coerce(value, cur))
     return obj
 
@@ -172,6 +180,13 @@ def main(argv=None):
     for tok in unknown:
         if tok.startswith("--") and "=" in tok:
             k, v = tok[2:].split("=", 1)
+            # only the three dotted namespaces exist; anything else would
+            # be dropped on the floor below (observed round 5: a bare
+            # --log_dir=... flag silently did nothing)
+            if k.split(".", 1)[0] not in ("model", "data", "trainer"):
+                raise SystemExit(
+                    f"unrecognized argument: {tok} (overrides use "
+                    "--model.* / --data.* / --trainer.*)")
             overrides[k] = v
         else:
             raise SystemExit(f"unrecognized argument: {tok}")

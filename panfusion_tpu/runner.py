@@ -224,6 +224,15 @@ def fit(
             if dropped:
                 print(f"Fresh fit: dropped {dropped} stale metrics rows "
                       "from a previous run")
+        if mesh is None:
+            # warm-start leaves checkpoint-loaded HOST numpy leaves in the
+            # frozen tree — the same leak d157348 fixed for resumes (the
+            # trainable/opt_state leaves are replaced by device outputs
+            # after step 1, frozen leaves never are, so every step
+            # re-transfers them and the transfer buffers accumulate).
+            # Round 5: a warm-started fresh fit OOM-killed at 130 GB RSS /
+            # ~10k steps. Place the whole state on device up front.
+            state = jax.device_put(state)
     # the sidecar is written alongside each save (CheckpointManager.save),
     # never eagerly: writing it at fit start would relabel an existing
     # `last` trained under a different schedule (ADVICE r4)

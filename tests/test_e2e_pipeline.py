@@ -232,6 +232,36 @@ class TestDatasetContract:
         assert prov["ckpt_path"] == "ck/last"
 
 
+class TestCLIOverrideValidation:
+    """A mistyped flag must ERROR, not silently no-op (round-5 incident:
+    --data.limit_train_items — no such field — was dropped on the floor
+    and the run trained on the full split; a bare --log_dir flag was
+    likewise ignored). Mirrors the reference CLI's unknown-arg rejection
+    (jsonargparse, main.py:54-72)."""
+
+    def test_unknown_field_errors(self):
+        from panfusion_tpu.cli import apply_overrides
+        from panfusion_tpu.data.pano_dataset import DataConfig
+
+        with pytest.raises(SystemExit, match="no field"):
+            apply_overrides(DataConfig(), {"data.limit_train_items": "4"},
+                            "data")
+
+    def test_known_field_still_applies(self):
+        from panfusion_tpu.cli import apply_overrides
+        from panfusion_tpu.data.pano_dataset import DataConfig
+
+        cfg = apply_overrides(DataConfig(), {"data.predict_limit": "6"},
+                              "data")
+        assert cfg.predict_limit == 6
+
+    def test_unknown_namespace_errors(self):
+        from panfusion_tpu.cli import main
+
+        with pytest.raises(SystemExit, match="unrecognized argument"):
+            main(["fit", "--data=Demo", "--log_dir=/tmp/x"])
+
+
 class TestLoggerResumeHygiene:
     def test_truncate_after_step_drops_aborted_tail(self, tmp_path):
         """Resume hygiene (round-4 postmortem): rows beyond the resumed

@@ -308,6 +308,22 @@ class TestLayoutConditioning:
         assert c["matched_2DIoU_mean"] > c["crossed_2DIoU_mean"], c
         assert c["conditioning_wins"] is True
 
+    def test_contrast8_paired_statistics(self):
+        """The statistically-hardened contrast (VERDICT r4 weak #4: the
+        4-room mean inequality was thin — many crossed pairs beat matched
+        ones and a re-run could flip it). 8 rooms / 64 pairs with paired
+        statistics: the mean must still win, matched generations must win
+        per-room in >= 75% of rooms (the round-5 "done when" bar), and the
+        one-sided sign test over all (generation, other-room) pairs must
+        reject chance at 0.05."""
+        path = _evidence_path("synpano_cn/contrast8/contrast.json")
+        c = json.load(open(path))
+        assert len(c["rooms"]) >= 8 and len(c["pairs"]) >= 64, (
+            len(c["rooms"]), len(c["pairs"]))
+        assert c["matched_2DIoU_mean"] > c["crossed_2DIoU_mean"], c
+        assert c["room_win_rate"] >= 0.75, c["per_room_win"]
+        assert c["sign_p"] < 0.05, c["sign_p"]
+
 
 class TestEpsPostmortemRecord:
     """The round-3 zero-SNR diagnosis as checked evidence (VERDICT r3 Weak
